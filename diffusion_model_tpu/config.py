@@ -1,0 +1,148 @@
+"""Configuration for the TPU diffusion framework.
+
+Parameter names deliberately mirror the reference's ``parameters.yaml``
+(ref: /root/reference/parameters.yaml:1-32) so existing configs are portable.
+Derived feature sizes reproduce the arithmetic of ``main.py:102-121`` in the
+reference: the node feature vector fed to the EGNN is
+
+    h = [atom_onehot(A) | spectrum(S or S_c) | exO(1) | t/T(1)]
+
+giving ``h_size = atom_type_size + (compressed_)spectrum_size + exO_size +
+t_size`` and MLP input sizes ``m_input = 2*h_size + d_size``,
+``h_input = h_size + m_size``, ``x_input = 2*h_size + d_size``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- EGNN architecture (ref parameters.yaml:1,13,15,16,31-32) ---
+    L: int = 5
+    m_size: int = 256
+    m_hidden_size: int = 1024
+    h_hidden_size: int = 1024
+    x_hidden_size: int = 1024
+    x_size: int = 3
+    d_size: int = 1
+
+    # --- feature layout (ref parameters.yaml:2,4,11,27-29) ---
+    atom_type_size: int = 2
+    spectrum_size: int = 200
+    compressed_spectrum_size: int = 32
+    compressor_hidden_dim: Sequence[int] = (150, 100, 50)
+    to_compress_spectrum: bool = True
+    conditional: bool = True
+    give_exO: bool = True
+    exO_size: int = 1
+    t_size: int = 1
+    onehot_scaling_factor: float = 1.0
+
+    # --- diffusion process (ref parameters.yaml:18-21) ---
+    num_diffusion_timestep: int = 1000
+    noise_schedule: str = "predefined"  # "predefined" | "learned"
+    noise_precision: float = 1e-5
+    noise_schedule_power: float = 2.0
+
+    # --- training (ref parameters.yaml:3,14,17,22,24-26,30) ---
+    batch_size: int = 1
+    lr: float = 1e-5
+    weight_decay: float = 1e-12
+    max_grad_norm: float = 100.0
+    optimizer: str = "RAdamScheduleFree"  # "Adam" | "AdamW" | "RAdamScheduleFree"
+    num_epochs: int = 3000
+    patience: int = 5000
+    seed: int = 2024
+
+    # --- sampling ---
+    gen_num_per_spectrum: int = 5  # ref parts/train_per_iretation.py:264
+    max_nan_retries: int = 10      # ref parts/train_per_iretation.py:379-389
+    snapshot_every: int = 100      # ref parts/train_per_iretation.py:336-337
+
+    # --- TPU-native knobs (new; no reference equivalent) ---
+    n_max: int = 16                 # padded node count per graph
+    compute_dtype: str = "float32"  # "float32" | "bfloat16" for matmuls
+    use_pallas: bool = False        # fused Pallas EGCL kernel vs XLA dense path
+    compat_scalar_norm: bool = False
+    # ``compat_scalar_norm`` reproduces the reference's coordinate-update
+    # divisor quirk: ``torch.norm(coords_i - coords_j)`` *without* dim= — a
+    # single Frobenius norm over the whole edge batch rather than per-edge
+    # (ref EquivariantGraphNeuralNetwork.py:64). Default False = correct
+    # per-edge norm (the published EGNN formulation).
+    debug_nans: bool = False        # jax.debug analogue of torch anomaly mode
+    mesh_shape: Sequence[int] = ()  # empty = single device
+    mesh_axis_names: Sequence[str] = ("data",)
+
+    # ------------------------------------------------------------------
+    # Derived sizes (ref main.py:102-121)
+    # ------------------------------------------------------------------
+    @property
+    def cond_spectrum_size(self) -> int:
+        if not self.conditional:
+            return 0
+        return (
+            self.compressed_spectrum_size
+            if self.to_compress_spectrum
+            else self.spectrum_size
+        )
+
+    @property
+    def h_size(self) -> int:
+        size = self.atom_type_size + self.cond_spectrum_size + self.t_size
+        if self.give_exO:
+            size += self.exO_size
+        return size
+
+    @property
+    def m_input_size(self) -> int:
+        return 2 * self.h_size + self.d_size
+
+    @property
+    def m_output_size(self) -> int:
+        return self.m_size
+
+    @property
+    def h_input_size(self) -> int:
+        return self.h_size + self.m_size
+
+    @property
+    def h_output_size(self) -> int:
+        return self.h_size
+
+    @property
+    def x_input_size(self) -> int:
+        return 2 * self.h_size + self.d_size
+
+    @property
+    def x_output_size(self) -> int:
+        return 1
+
+    def replace(self, **kwargs: Any) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+
+
+def from_dict(d: dict) -> Config:
+    """Build a Config from a dict, ignoring unknown keys (e.g. wandb extras)."""
+    known = {k: v for k, v in d.items() if k in _FIELD_NAMES}
+    for key in ("compressor_hidden_dim", "mesh_shape", "mesh_axis_names"):
+        if key in known and isinstance(known[key], list):
+            known[key] = tuple(known[key])
+    return Config(**known)
+
+
+def load_config(path: str) -> Config:
+    """Load a reference-style parameters.yaml into a Config."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return from_dict(raw)
