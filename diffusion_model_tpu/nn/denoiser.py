@@ -1,0 +1,82 @@
+"""The full conditional denoiser: feature assembly + EGNN -> (eps_x, eps_h).
+
+This is the jittable heart of the framework, reproducing the feature layout
+and epsilon extraction spread across the reference's training/sampling loops
+(ref parts/train_per_iretation.py:136-163 and :343-369):
+
+    h_in  = [species_t(A) | compressed_spectrum(32) or spectrum(S) | exO | t/T]
+    h', x' = EGNN(h_in, pos_t)
+    eps_x = remove_mean(x' - pos_t)   (per graph, masked)
+    eps_h = h'[..., :A]
+
+Everything is padded/masked; no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.nn.compressor import SpectrumCompressor
+from diffusion_model_tpu.nn.egnn import EquivariantGNN
+from diffusion_model_tpu.ops.com import remove_mean
+
+
+class DiffusionDenoiser(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, species_t, pos_t, spectrum, exo, t_norm, node_mask,
+                 pair_mask):
+        """Predict the joint noise.
+
+        Args:
+          species_t: ``[B, N, A]`` noisy species channel (already scaled by
+            ``onehot_scaling_factor`` where the caller wants that).
+          pos_t: ``[B, N, 3]`` noisy positions.
+          spectrum: ``[B, N, S]`` per-node conditioning spectra.
+          exo: ``[B, N, 1]`` excited-atom indicator.
+          t_norm: ``[B, N, 1]`` diffusion time t/T.
+          node_mask: ``[B, N]``.
+          pair_mask: ``[B, N, N]``.
+
+        Returns:
+          (eps_x ``[B, N, 3]`` CoM-free masked, eps_h ``[B, N, A]`` masked).
+        """
+        cfg = self.cfg
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        feats = [species_t]
+        if cfg.conditional:
+            if cfg.to_compress_spectrum:
+                compressed = SpectrumCompressor(
+                    hidden_dims=tuple(cfg.compressor_hidden_dim),
+                    out_dim=cfg.compressed_spectrum_size,
+                    compute_dtype=dt,
+                    name="spectrum_compressor",
+                )(spectrum)
+                feats.append(compressed)
+            else:
+                feats.append(spectrum)
+        if cfg.give_exO:
+            feats.append(exo)
+        feats.append(t_norm)
+        h_in = jnp.concatenate(feats, axis=-1)
+
+        h_out, x_out = EquivariantGNN(
+            L=cfg.L,
+            m_hidden=cfg.m_hidden_size,
+            m_out=cfg.m_size,
+            x_hidden=cfg.x_hidden_size,
+            h_hidden=cfg.h_hidden_size,
+            h_out=cfg.h_size,
+            compat_scalar_norm=cfg.compat_scalar_norm,
+            compute_dtype=dt,
+            name="egnn",
+        )(h_in, pos_t, pair_mask)
+
+        mask3 = node_mask[..., None].astype(pos_t.dtype)
+        eps_x = remove_mean((x_out - pos_t) * mask3, node_mask)
+        eps_h = h_out[..., : cfg.atom_type_size] * mask3
+        return eps_x, eps_h

@@ -1,0 +1,217 @@
+"""EGNN tests: equivariance, masking inertness, loop-oracle parity, gamma net.
+
+The loop oracle re-implements the reference EGCL semantics
+(ref EquivariantGraphNeuralNetwork.py:55-71) edge-by-edge in numpy using the
+same flax parameters, validating the dense masked formulation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.nn import (
+    DiffusionDenoiser,
+    EGCL,
+    GammaNetwork,
+    SpectrumCompressor,
+)
+from diffusion_model_tpu.ops import dense_pair_mask
+
+
+def silu(v):
+    return v / (1 + np.exp(-v))
+
+
+def sigmoid(v):
+    return 1 / (1 + np.exp(-v))
+
+
+def apply_dense(p, v):
+    return v @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
+
+
+def numpy_egcl_oracle(params, h, x, mask, compat_scalar_norm=False):
+    """Reference-semantics EGCL: explicit loop over ordered pairs."""
+    n = h.shape[0]
+    real = [i for i in range(n) if mask[i] > 0]
+    edges = [(i, j) for i in real for j in real if i != j]
+
+    def mlp_m(v):
+        v = silu(apply_dense(params["mlp_m_dense0"], v))
+        return silu(apply_dense(params["mlp_m_dense1"], v))
+
+    def mlp_h(v):
+        v = silu(apply_dense(params["mlp_h_dense0"], v))
+        return apply_dense(params["mlp_h_dense1"], v)
+
+    def mlp_x(v):
+        v = silu(apply_dense(params["mlp_x_dense0"], v))
+        v = silu(apply_dense(params["mlp_x_dense1"], v))
+        return apply_dense(params["mlp_x_dense2"], v)
+
+    # scalar-norm compat: Frobenius norm over all edge difference vectors
+    if compat_scalar_norm:
+        total = sum(np.sum((x[i] - x[j]) ** 2) for i, j in edges)
+        global_norm = np.sqrt(total)
+
+    m_sum = np.zeros((n, apply_dense(params["mlp_m_dense1"],
+                                     np.zeros(params["mlp_m_dense1"]["kernel"].shape[0])).shape[0]))
+    x_upd = np.zeros((n, 3))
+    for i, j in edges:
+        d2 = np.sum((x[i] - x[j]) ** 2)
+        feat = np.concatenate([h[i], h[j], [d2]])
+        m = mlp_m(feat)
+        m = m * sigmoid(apply_dense(params["attention_dense"], m))
+        m_sum[i] += m
+        s = mlp_x(feat)
+        norm = global_norm if compat_scalar_norm else np.sqrt(d2)
+        x_upd[i] += (x[i] - x[j]) * s / (norm + 1)
+
+    h_new = np.stack([mlp_h(np.concatenate([h[i], m_sum[i]])) for i in range(n)])
+    return h_new, x + x_upd
+
+
+def make_egcl(compat=False):
+    return EGCL(m_hidden=32, m_out=16, x_hidden=32, h_hidden=32, h_out=8,
+                compat_scalar_norm=compat)
+
+
+class TestEGCL:
+    @pytest.mark.parametrize("compat", [False, True])
+    def test_matches_loop_oracle(self, rng, compat):
+        n = 6
+        h = rng.normal(size=(1, n, 8)).astype(np.float32)
+        x = rng.normal(size=(1, n, 3)).astype(np.float32)
+        mask = np.ones((1, n), np.float32)
+        mask[0, -2:] = 0  # two padded nodes
+        layer = make_egcl(compat)
+        params = layer.init(jax.random.key(0), jnp.asarray(h), jnp.asarray(x),
+                            dense_pair_mask(jnp.asarray(mask)))
+        h_out, x_out = layer.apply(params, jnp.asarray(h), jnp.asarray(x),
+                                   dense_pair_mask(jnp.asarray(mask)))
+        p = jax.tree.map(np.asarray, params["params"])
+        h_ref, x_ref = numpy_egcl_oracle(p, h[0], x[0], mask[0], compat)
+        real = mask[0] > 0
+        np.testing.assert_allclose(
+            np.asarray(h_out)[0][real], h_ref[real], rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_out)[0][real], x_ref[real], rtol=2e-4, atol=2e-5
+        )
+
+    def test_padding_inert(self, rng):
+        """Padded nodes must not change real-node outputs."""
+        n_real, n_pad = 5, 3
+        h = rng.normal(size=(1, n_real, 8)).astype(np.float32)
+        x = rng.normal(size=(1, n_real, 3)).astype(np.float32)
+        h_pad = np.concatenate(
+            [h, rng.normal(size=(1, n_pad, 8)).astype(np.float32)], axis=1
+        )
+        x_pad = np.concatenate(
+            [x, 50 + rng.normal(size=(1, n_pad, 3)).astype(np.float32)], axis=1
+        )
+        mask_small = jnp.ones((1, n_real))
+        mask_pad = jnp.asarray(
+            np.concatenate([np.ones((1, n_real)), np.zeros((1, n_pad))], axis=1)
+        )
+        layer = make_egcl()
+        params = layer.init(jax.random.key(0), jnp.asarray(h), jnp.asarray(x),
+                            dense_pair_mask(mask_small))
+        h1, x1 = layer.apply(params, jnp.asarray(h), jnp.asarray(x),
+                             dense_pair_mask(mask_small))
+        h2, x2 = layer.apply(params, jnp.asarray(h_pad), jnp.asarray(x_pad),
+                             dense_pair_mask(mask_pad))
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2)[:, :n_real],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2)[:, :n_real],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_equivariance(self, rng):
+        """h invariant, x equivariant under rotation + translation."""
+        n = 7
+        h = rng.normal(size=(1, n, 8)).astype(np.float32)
+        x = rng.normal(size=(1, n, 3)).astype(np.float32)
+        mask = jnp.ones((1, n))
+        pm = dense_pair_mask(mask)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        q = q.astype(np.float32)
+        t = np.array([0.5, -1.0, 2.0], np.float32)
+
+        layer = make_egcl()
+        params = layer.init(jax.random.key(1), jnp.asarray(h), jnp.asarray(x), pm)
+        h1, x1 = layer.apply(params, jnp.asarray(h), jnp.asarray(x), pm)
+        h2, x2 = layer.apply(params, jnp.asarray(h), jnp.asarray(x @ q.T + t), pm)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(x1) @ q.T + t, np.asarray(x2),
+                                   rtol=5e-4, atol=5e-4)
+
+
+class TestGamma:
+    def test_endpoints_and_monotone(self):
+        net = GammaNetwork(hidden=64)
+        t = jnp.linspace(0, 1, 101)[:, None]
+        params = net.init(jax.random.key(0), t)
+        g = np.asarray(net.apply(params, t))[:, 0]
+        assert g[0] == pytest.approx(-5.0, abs=1e-4)
+        assert g[-1] == pytest.approx(10.0, abs=1e-4)
+        assert np.all(np.diff(g) >= -1e-6)
+
+
+class TestCompressor:
+    def test_shapes(self, rng):
+        net = SpectrumCompressor()
+        s = jnp.asarray(rng.normal(size=(2, 5, 200)), jnp.float32)
+        params = net.init(jax.random.key(0), s)
+        out = net.apply(params, s)
+        assert out.shape == (2, 5, 32)
+
+
+class TestDenoiser:
+    def test_shapes_and_com(self, rng):
+        cfg = Config(n_max=8, L=2, m_hidden_size=32, h_hidden_size=32,
+                     x_hidden_size=32, m_size=16)
+        b, n = 2, cfg.n_max
+        species = jnp.asarray(rng.normal(size=(b, n, 2)), jnp.float32)
+        pos = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+        spec = jnp.asarray(rng.normal(size=(b, n, 200)), jnp.float32)
+        exo = jnp.zeros((b, n, 1))
+        tn = jnp.full((b, n, 1), 0.5)
+        mask = jnp.asarray(
+            np.stack([[1] * 5 + [0] * 3, [1] * 8]), jnp.float32
+        )
+        model = DiffusionDenoiser(cfg)
+        params = model.init(jax.random.key(0), species, pos, spec, exo, tn,
+                            mask, dense_pair_mask(mask))
+        eps_x, eps_h = model.apply(params, species, pos, spec, exo, tn,
+                                   mask, dense_pair_mask(mask))
+        assert eps_x.shape == (b, n, 3)
+        assert eps_h.shape == (b, n, 2)
+        # eps_x zero-CoM per graph over valid nodes; padded rows zero
+        for g in range(b):
+            m = np.asarray(mask[g]) > 0
+            np.testing.assert_allclose(
+                np.asarray(eps_x[g])[m].mean(0), 0.0, atol=1e-5
+            )
+            np.testing.assert_allclose(np.asarray(eps_x[g])[~m], 0.0)
+            np.testing.assert_allclose(np.asarray(eps_h[g])[~m], 0.0)
+
+    def test_param_count_matches_reference_scale(self):
+        """Full-size model should land in the reference's ~8-9M param range
+        (SURVEY.md §6: L=5, hidden 1024, m_size 256, h_size 36)."""
+        cfg = Config()
+        model = DiffusionDenoiser(cfg)
+        b, n = 1, 4
+        params = model.init(
+            jax.random.key(0),
+            jnp.zeros((b, n, 2)), jnp.zeros((b, n, 3)),
+            jnp.zeros((b, n, 200)), jnp.zeros((b, n, 1)),
+            jnp.zeros((b, n, 1)), jnp.ones((b, n)),
+            dense_pair_mask(jnp.ones((b, n))),
+        )
+        count = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        assert 8_000_000 < count < 10_000_000, count
