@@ -74,6 +74,10 @@ class Config:
     # single Frobenius norm over the whole edge batch rather than per-edge
     # (ref EquivariantGraphNeuralNetwork.py:64). Default False = correct
     # per-edge norm (the published EGNN formulation).
+    zero_init_x: bool = True
+    # zero-init the final coordinate-MLP layer so the untrained net is the
+    # identity on positions (standard diffusion practice; the reference
+    # instead survives early-training NaNs via its runtime retry loop).
     debug_nans: bool = False        # jax.debug analogue of torch anomaly mode
     mesh_shape: Sequence[int] = ()  # empty = single device
     mesh_axis_names: Sequence[str] = ("data",)

@@ -73,6 +73,7 @@ class DiffusionDenoiser(nn.Module):
             h_out=cfg.h_size,
             compat_scalar_norm=cfg.compat_scalar_norm,
             compute_dtype=dt,
+            zero_init_x=cfg.zero_init_x,
             name="egnn",
         )(h_in, pos_t, pair_mask)
 

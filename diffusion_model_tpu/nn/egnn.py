@@ -37,12 +37,20 @@ import jax.numpy as jnp
 from diffusion_model_tpu.ops.angles import pairwise_sq_dist
 
 
-def _silu_mlp(features: Sequence[int], final_act: bool, dtype, name: str):
+def _silu_mlp(features: Sequence[int], final_act: bool, dtype, name: str,
+              zero_init_last: bool = False):
     """Linear/SiLU stack; ``features`` lists output sizes of each Linear."""
     layers = []
     for i, f in enumerate(features):
-        layers.append(nn.Dense(f, dtype=dtype, name=f"{name}_dense{i}"))
-        if i < len(features) - 1 or final_act:
+        last = i == len(features) - 1
+        kinit = (
+            nn.initializers.zeros if (last and zero_init_last)
+            else nn.initializers.lecun_normal()
+        )
+        layers.append(
+            nn.Dense(f, dtype=dtype, kernel_init=kinit, name=f"{name}_dense{i}")
+        )
+        if not last or final_act:
             layers.append(nn.silu)
     return nn.Sequential(layers)
 
@@ -57,6 +65,12 @@ class EGCL(nn.Module):
     h_out: int
     compat_scalar_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    zero_init_x: bool = True
+    # ``zero_init_x`` zero-initialises the final coordinate-MLP layer so an
+    # untrained network is the identity on positions. The reference instead
+    # relies on a runtime NaN-retry loop to survive early-training reverse
+    # chains (ref parts/train_per_iretation.py:376-389); zero output init is
+    # the standard diffusion-model fix and changes nothing once trained.
 
     @nn.compact
     def __call__(self, h, x, pair_mask):
@@ -76,7 +90,8 @@ class EGCL(nn.Module):
 
         mlp_m = _silu_mlp([self.m_hidden, self.m_out], True, dt, "mlp_m")
         mlp_h = _silu_mlp([self.h_hidden, self.h_out], False, dt, "mlp_h")
-        mlp_x = _silu_mlp([self.x_hidden, self.x_hidden, 1], False, dt, "mlp_x")
+        mlp_x = _silu_mlp([self.x_hidden, self.x_hidden, 1], False, dt,
+                          "mlp_x", zero_init_last=self.zero_init_x)
         att = nn.Dense(1, dtype=dt, name="attention_dense")
 
         h_c = h.astype(dt)
@@ -122,6 +137,7 @@ class EquivariantGNN(nn.Module):
     h_out: int
     compat_scalar_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    zero_init_x: bool = True
 
     @nn.compact
     def __call__(self, h, x, pair_mask):
@@ -134,6 +150,7 @@ class EquivariantGNN(nn.Module):
                 h_out=self.h_out,
                 compat_scalar_norm=self.compat_scalar_norm,
                 compute_dtype=self.compute_dtype,
+                zero_init_x=self.zero_init_x,
                 name=f"egcl_{l}",
             )(h, x, pair_mask)
         return h, x

@@ -74,8 +74,10 @@ def numpy_egcl_oracle(params, h, x, mask, compat_scalar_norm=False):
 
 
 def make_egcl(compat=False):
+    # zero_init_x=False so the coordinate branch is non-trivial at init and
+    # the oracle comparison actually exercises it.
     return EGCL(m_hidden=32, m_out=16, x_hidden=32, h_hidden=32, h_out=8,
-                compat_scalar_norm=compat)
+                compat_scalar_norm=compat, zero_init_x=False)
 
 
 class TestEGCL:
