@@ -1,0 +1,48 @@
+"""Seeded dataset splitting and batching.
+
+Mirrors ``SetUpData.split`` semantics (ref split_to_train_and_test.py:98-108):
+seeded random 80/10/10 split with lengths ``int(0.8n)``, ``int(0.1n)``,
+remainder — deterministic given the seed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from diffusion_model_tpu.data.batch import GraphBatch, collate
+
+
+def split_dataset(dataset: Sequence, seed: int, train_ratio: float = 0.8,
+                  val_ratio: float = 0.1):
+    n = len(dataset)
+    n_train = int(n * train_ratio)
+    n_val = int(n * val_ratio)
+    perm = np.random.default_rng(seed).permutation(n)
+    pick = lambda idx: [dataset[i] for i in idx]
+    return (
+        pick(perm[:n_train]),
+        pick(perm[n_train : n_train + n_val]),
+        pick(perm[n_train + n_val :]),
+    )
+
+
+def batch_iterator(graphs: Sequence[dict], batch_size: int, n_max: int,
+                   seed: int | None = None, drop_remainder: bool = False
+                   ) -> Iterator[GraphBatch]:
+    """Shuffled padded batches. The final short batch is padded up to
+    ``batch_size`` by repeating entries with their masks kept (so static
+    shapes are preserved under jit) unless ``drop_remainder``."""
+    idx = np.arange(len(graphs))
+    if seed is not None:
+        np.random.default_rng(seed).shuffle(idx)
+    for start in range(0, len(idx), batch_size):
+        chunk = idx[start : start + batch_size]
+        if len(chunk) < batch_size:
+            if drop_remainder:
+                return
+            chunk = np.concatenate(
+                [chunk, idx[: batch_size - len(chunk)]]
+            )
+        yield collate([graphs[i] for i in chunk], n_max)

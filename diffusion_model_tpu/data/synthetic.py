@@ -1,0 +1,147 @@
+"""Synthetic SiO2 local-environment dataset generator.
+
+The reference's raw data (CASTEP ``coreloss.cell`` + EELS spectra) lives on
+private paths (ref make_dataset.py args, data_preparation.py:412), so tests
+and benchmarks need a generator producing the exact dataset schema
+(ref make_dataset.py:110-142):
+
+  * node 0 = excited oxygen (exO) at the origin, species one-hot O=[1,0]
+  * CN Si neighbours at ~1.62 A (Si-O bond length in silica) with
+    tetrahedral-ish geometry, species Si=[0,1]
+  * optional second shell of bridging O at ~1.6 A from each Si
+  * per-node spectrum tensor with only row 0 (exO) carrying the real
+    200-point curve (ref make_dataset.py:125-128)
+  * exO indicator column, id string
+
+The synthetic EELS curve encodes the coordination number (peak positions /
+widths shift with CN) so conditional models have real signal to learn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+SI_O_BOND = 1.62  # Angstrom, typical silica bond length
+
+
+def _random_unit_vectors(rng: np.random.Generator, n: int,
+                         min_angle_deg: float = 60.0) -> np.ndarray:
+    """n unit vectors pairwise separated by at least ``min_angle_deg``."""
+    cos_max = np.cos(np.radians(min_angle_deg))
+    vecs: list[np.ndarray] = []
+    while len(vecs) < n:
+        v = rng.normal(size=3)
+        v /= np.linalg.norm(v)
+        if all(np.dot(v, u) < cos_max for u in vecs):
+            vecs.append(v)
+    return np.stack(vecs)
+
+
+def synthetic_spectrum(cn: int, rng: np.random.Generator,
+                       size: int = 200) -> np.ndarray:
+    """ELNES-like curve on the reference's -1..19 eV grid, CN-dependent.
+
+    Two Gaussian peaks whose centres/amplitudes shift with coordination
+    number, min-max normalised like ``fitted_intensity``
+    (ref data_preparation.py:186-200).
+    """
+    ev = np.linspace(-1.0, 19.0, size)
+    c1 = 5.0 + 1.2 * cn + rng.normal(0, 0.15)
+    c2 = 11.0 + 0.8 * cn + rng.normal(0, 0.2)
+    w1 = 1.2 + 0.1 * cn
+    w2 = 2.5
+    a2 = 0.5 + 0.1 * cn
+    y = (
+        np.exp(-0.5 * ((ev - c1) / w1) ** 2)
+        + a2 * np.exp(-0.5 * ((ev - c2) / w2) ** 2)
+    )
+    y += rng.normal(0, 0.01, size)
+    y -= y.min()
+    y /= max(y.max(), 1e-9)
+    return y.astype(np.float32)
+
+
+def make_graph(rng: np.random.Generator, n_max: int, spectrum_size: int = 200,
+               shells: int = 1, cn: int | None = None) -> dict:
+    """One synthetic local environment as a graph dict."""
+    if cn is None:
+        cn = int(rng.integers(2, 5))  # CN in {2,3,4}
+    dirs = _random_unit_vectors(rng, cn)
+    pos = [np.zeros(3)]
+    species = [[1.0, 0.0]]  # exO is oxygen
+    for d in dirs:
+        r = SI_O_BOND + rng.normal(0, 0.04)
+        pos.append(d * r)
+        species.append([0.0, 1.0])  # Si
+    if shells >= 2:
+        for i in range(cn):
+            if len(pos) >= n_max:
+                break
+            si = pos[1 + i]
+            out_dir = si / np.linalg.norm(si)
+            perp = np.cross(out_dir, rng.normal(size=3))
+            perp /= np.linalg.norm(perp)
+            bridge = out_dir * 0.5 + perp * 0.87
+            bridge /= np.linalg.norm(bridge)
+            pos.append(si + bridge * (SI_O_BOND + rng.normal(0, 0.04)))
+            species.append([1.0, 0.0])  # bridging O
+    pos = np.asarray(pos, np.float32)
+    species = np.asarray(species, np.float32)
+    n = pos.shape[0]
+    spectrum = np.zeros((n, spectrum_size), np.float32)
+    spectrum[0] = synthetic_spectrum(cn, rng, spectrum_size)
+    exo = np.zeros((n, 1), np.float32)
+    exo[0, 0] = 1.0
+    return {
+        "pos": pos,
+        "species": species,
+        "spectrum": spectrum,
+        "exo": exo,
+        "cn": cn,
+        "id": f"synthetic_{rng.integers(1 << 30)}",
+    }
+
+
+def synthetic_sio2_dataset(seed: int, num_graphs: int, n_max: int,
+                           spectrum_size: int = 200,
+                           shells: int = 1) -> list[dict]:
+    rng = np.random.default_rng(seed)
+    return [
+        make_graph(rng, n_max, spectrum_size, shells)
+        for _ in range(num_graphs)
+    ]
+
+
+def amorphous_cell(seed: int, num_atoms: int, density_si_ratio: float = 1 / 3,
+                   spectrum_size: int = 200) -> dict:
+    """A larger amorphous-like SiO2 cell for the big-graph benchmark path
+    (driver config #4: 1024+ atoms). Atoms drawn with a minimum-distance
+    rejection loop inside a cube sized for silica's number density."""
+    rng = np.random.default_rng(seed)
+    # amorphous SiO2: ~0.066 atoms/A^3
+    side = (num_atoms / 0.066) ** (1 / 3)
+    pos: list[np.ndarray] = []
+    while len(pos) < num_atoms:
+        cand = rng.uniform(0, side, 3)
+        if all(np.sum((cand - p) ** 2) > 1.4**2 for p in pos[-200:]):
+            pos.append(cand)
+    pos = np.asarray(pos, np.float32)
+    pos -= pos[0]  # exO at origin
+    n_si = int(num_atoms * density_si_ratio)
+    species = np.zeros((num_atoms, 2), np.float32)
+    species[:, 0] = 1.0
+    si_idx = rng.choice(np.arange(1, num_atoms), n_si, replace=False)
+    species[si_idx] = [0.0, 1.0]
+    spectrum = np.zeros((num_atoms, spectrum_size), np.float32)
+    spectrum[0] = synthetic_spectrum(4, rng, spectrum_size)
+    exo = np.zeros((num_atoms, 1), np.float32)
+    exo[0, 0] = 1.0
+    return {
+        "pos": pos,
+        "species": species,
+        "spectrum": spectrum,
+        "exo": exo,
+        "cn": 4,
+        "id": f"amorphous_{seed}",
+    }

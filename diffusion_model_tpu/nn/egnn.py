@@ -117,7 +117,11 @@ class EGCL(nn.Module):
                 jnp.sum(d2[..., 0] * pair_mask.astype(dt), axis=(-1, -2))
             )[..., None, None, None]
         else:
-            norm = jnp.sqrt(d2)
+            # safe sqrt: masked (diagonal/padded) pairs have d2 == 0 whose
+            # sqrt-gradient is inf; 0*inf = NaN would poison the backward
+            # pass through the mask multiply, so substitute 1 under the mask.
+            pm = pair_mask[..., None] > 0
+            norm = jnp.sqrt(jnp.where(pm, jnp.maximum(d2, 1e-12), 1.0))
         diff = x_c[:, :, None, :] - x_c[:, None, :, :]    # [B,N,N,3]
         upd = diff * s / (norm + 1.0)
         upd = upd * pair_mask[..., None].astype(dt)

@@ -1,0 +1,59 @@
+"""Forward-noising of training batches and the epsilon-prediction loss.
+
+Rebuild of the reference's ``diffuse_as_batch`` + loss block
+(ref parts/train_per_iretation.py:36-92 and :161-181). The reference loops
+over graphs in Python to draw per-graph timesteps and noise; here one
+vectorised draw covers the whole padded batch.
+
+Loss semantics preserved exactly:
+  * per-graph timestep t ~ U{1..T}                       (ref :43,56)
+  * positions noised CoM-free, species one-hot noised plainly (ref :59-67)
+  * prediction = [eps_x | eps_h] with eps_x mean-removed per graph
+    (ref :161-166)
+  * MSE with reduction='sum' over all real nodes, divided by the number of
+    graphs for the gradient (ref :168-169); reported per node (ref :181).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.data.batch import GraphBatch
+from diffusion_model_tpu.diffusion.process import Schedule, diffuse_zero_to_t
+
+
+def diffuse_batch(schedule: Schedule, cfg: Config, key, batch: GraphBatch):
+    """Draw per-graph timesteps and noise the batch to them.
+
+    Returns:
+      (pos_t, h_t, t [B] int32, eps_pos, eps_h)
+    """
+    b = batch.batch_size
+    k_t, k_pos, k_h = jax.random.split(key, 3)
+    t = jax.random.randint(k_t, (b,), 1, cfg.num_diffusion_timestep + 1)
+    pos_t, eps_pos = diffuse_zero_to_t(
+        schedule, k_pos, batch.pos, t, mode="pos", mask=batch.mask
+    )
+    h_t, eps_h = diffuse_zero_to_t(
+        schedule, k_h, batch.species, t, mode="h", mask=batch.mask
+    )
+    return pos_t, h_t, t, eps_pos, eps_h
+
+
+def epsilon_loss(eps_x_pred, eps_h_pred, eps_x, eps_h, mask):
+    """Sum-MSE over [eps_x | eps_h] with the reference's normalisations.
+
+    Returns:
+      (loss_for_grad = sum / num_graphs,
+       sum_sq        = raw summed squared error,
+       num_nodes     = real atoms in the batch)
+    """
+    m3 = mask[..., None]
+    sq = jnp.sum(((eps_x_pred - eps_x) ** 2) * m3) + jnp.sum(
+        ((eps_h_pred - eps_h) ** 2) * m3
+    )
+    num_graphs = jnp.asarray(mask.shape[0], sq.dtype)
+    num_nodes = jnp.sum(mask)
+    return sq / num_graphs, sq, num_nodes

@@ -1,0 +1,171 @@
+"""Training engine tests: loss mechanics, optimizers, end-to-end learning,
+checkpoint roundtrip, early stopping."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.data.split import batch_iterator, split_dataset
+from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+from diffusion_model_tpu.diffusion import predefined_schedule
+from diffusion_model_tpu.train import (
+    EarlyStopping,
+    Trainer,
+    diffuse_batch,
+    epsilon_loss,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        n_max=8, L=2, m_hidden_size=32, h_hidden_size=32, x_hidden_size=32,
+        m_size=16, spectrum_size=32, compressed_spectrum_size=8,
+        compressor_hidden_dim=(16,), num_diffusion_timestep=50,
+        batch_size=4, lr=1e-3, optimizer="Adam",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def make_batches(cfg, num=16, seed=0):
+    data = synthetic_sio2_dataset(seed, num, cfg.n_max,
+                                  spectrum_size=cfg.spectrum_size)
+    return list(batch_iterator(data, cfg.batch_size, cfg.n_max, seed=1))
+
+
+class TestLossMechanics:
+    def test_diffuse_batch_shapes_and_com(self, rng):
+        cfg = tiny_cfg()
+        batches = make_batches(cfg, num=4)
+        b = batches[0]
+        s = predefined_schedule(cfg)
+        pos_t, h_t, t, eps_pos, eps_h = diffuse_batch(
+            s, cfg, jax.random.key(0), b
+        )
+        assert pos_t.shape == b.pos.shape
+        assert h_t.shape == b.species.shape
+        assert t.shape == (cfg.batch_size,)
+        assert np.asarray(t).min() >= 1
+        assert np.asarray(t).max() <= cfg.num_diffusion_timestep
+        for g in range(cfg.batch_size):
+            m = np.asarray(b.mask[g]) > 0
+            np.testing.assert_allclose(
+                np.asarray(eps_pos[g])[m].mean(0), 0, atol=1e-5
+            )
+
+    def test_epsilon_loss_normalisation(self):
+        mask = jnp.asarray([[1.0, 1, 0], [1, 0, 0]])
+        ex_p = jnp.ones((2, 3, 3))
+        eh_p = jnp.ones((2, 3, 2))
+        ex = jnp.zeros((2, 3, 3))
+        eh = jnp.zeros((2, 3, 2))
+        loss, sum_sq, nodes = epsilon_loss(ex_p, eh_p, ex, eh, mask)
+        # 3 real nodes * (3 + 2) unit errors = 15; graphs = 2
+        assert float(sum_sq) == pytest.approx(15.0)
+        assert float(loss) == pytest.approx(7.5)
+        assert float(nodes) == pytest.approx(3.0)
+
+
+class TestOptimizers:
+    @pytest.mark.parametrize("opt", ["Adam", "AdamW", "RAdamScheduleFree"])
+    def test_step_changes_params(self, opt):
+        cfg = tiny_cfg(optimizer=opt)
+        trainer = Trainer(cfg)
+        batches = make_batches(cfg, num=4)
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        new_state, metrics = trainer.train_step(
+            state, jax.random.key(1), batches[0]
+        )
+        assert float(metrics["loss"]) > 0
+        leaves0 = jax.tree.leaves(state.params)
+        leaves1 = jax.tree.leaves(new_state.params)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(leaves0, leaves1)
+        )
+        # eval params resolve for every optimizer
+        _ = new_state.eval_params(cfg)
+
+
+class TestEndToEnd:
+    def test_loss_decreases(self):
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        data = synthetic_sio2_dataset(7, 24, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        train, val, test = split_dataset(data, seed=cfg.seed)
+        assert len(train) == 19 and len(val) == 2 and len(test) == 3
+        batches = list(
+            batch_iterator(train, cfg.batch_size, cfg.n_max, seed=2)
+        )
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        key = jax.random.key(3)
+        state, first = trainer.train_epoch(state, key, batches)
+        losses = [first]
+        for e in range(15):
+            key, sub = jax.random.split(key)
+            state, l = trainer.train_epoch(state, sub, batches)
+            losses.append(l)
+        assert losses[-1] < 0.7 * losses[0], losses
+
+    def test_learned_schedule_trains_gamma(self):
+        cfg = tiny_cfg(noise_schedule="learned")
+        trainer = Trainer(cfg)
+        batches = make_batches(cfg, num=4)
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        g0 = jax.tree.leaves(state.params["gamma"])
+        state, _ = trainer.train_step(state, jax.random.key(1), batches[0])
+        g1 = jax.tree.leaves(state.params["gamma"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(g0, g1)
+        )
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        batches = make_batches(cfg, num=4)
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        state, _ = trainer.train_step(state, jax.random.key(1), batches[0])
+        ckdir = os.path.join(tmp_path, "ckpt")
+        save_checkpoint(ckdir, state, cfg, step=int(state.step))
+        template = trainer.init_state(jax.random.key(9), batches[0])
+        restored, cfg2 = restore_checkpoint(ckdir, template)
+        assert cfg2.n_max == cfg.n_max
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.opt_state),
+                        jax.tree.leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # training continues from the restored state
+        restored_next, m = trainer.train_step(
+            restored, jax.random.key(2), batches[0]
+        )
+        assert int(restored_next.step) == int(state.step) + 1
+
+
+class TestEarlyStopping:
+    def test_semantics(self):
+        es = EarlyStopping(patience=2)
+        assert not es.validate(1.0)
+        assert not es.validate(0.9)
+        assert not es.validate(1.1)  # step 1
+        assert not es.validate(1.2)  # step 2
+        assert es.validate(1.3)      # step 3 > patience
+        es2 = EarlyStopping(patience=2)
+        assert not es2.validate(1.0)
+        assert not es2.validate(1.1)
+        assert not es2.validate(0.5)  # improvement resets
+        assert not es2.validate(0.6)
+        assert not es2.validate(0.7)
+        assert es2.validate(0.8)
