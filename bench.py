@@ -1,0 +1,70 @@
+"""Headline benchmark: 1000-step generation of a 192-atom SiO2 cell.
+
+Prints one JSON line:
+  {"metric": "atoms*denoise_steps/sec/chip", "value": N, "unit": "...",
+   "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); the driver's north-star
+target is <2 s for this workload on one v5e chip, i.e. a baseline rate of
+192 * 1000 / 2 = 96_000 atoms*steps/sec. ``vs_baseline`` is measured rate /
+that target rate (>1 beats the target).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from diffusion_model_tpu.config import Config
+    from diffusion_model_tpu.data.split import batch_iterator
+    from diffusion_model_tpu.data.synthetic import amorphous_cell
+    from diffusion_model_tpu.diffusion import predefined_schedule, sample
+    from diffusion_model_tpu.nn import DiffusionDenoiser
+
+    n_atoms = 192
+    steps = 1000
+    cfg = Config(n_max=n_atoms, num_diffusion_timestep=steps,
+                 compute_dtype="bfloat16")
+
+    cell = amorphous_cell(seed=0, num_atoms=n_atoms,
+                          spectrum_size=cfg.spectrum_size)
+    cond = next(batch_iterator([cell], 1, cfg.n_max))
+
+    model = DiffusionDenoiser(cfg)
+    b, n = cond.mask.shape
+    t0 = jnp.full((b, n, 1), 0.5) * cond.mask[..., None]
+    params = model.init(
+        jax.random.key(0), cond.species, cond.pos, cond.spectrum, cond.exo,
+        t0, cond.mask, cond.pair_mask(),
+    )
+    fn = lambda *a: model.apply(params, *a)
+    schedule = predefined_schedule(cfg)
+
+    run = jax.jit(lambda key: sample(fn, schedule, cfg, key, cond))
+
+    # compile + warm-up
+    jax.block_until_ready(run(jax.random.key(1)))
+
+    times = []
+    for i in range(3):
+        t_start = time.perf_counter()
+        jax.block_until_ready(run(jax.random.key(2 + i)))
+        times.append(time.perf_counter() - t_start)
+    best = min(times)
+
+    rate = n_atoms * steps / best  # atoms * denoise-steps per second
+    baseline_rate = n_atoms * steps / 2.0  # driver target: <2 s
+    print(json.dumps({
+        "metric": "atoms*denoise_steps/sec/chip (192-atom cell, 1000-step sampler)",
+        "value": round(rate, 1),
+        "unit": "atoms*steps/s",
+        "vs_baseline": round(rate / baseline_rate, 3),
+        "seconds_per_structure": round(best, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

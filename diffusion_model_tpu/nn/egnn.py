@@ -20,6 +20,17 @@ Layer semantics reproduced (ref :55-71):
   * coordinate MLP ``mlp_x``: Linear-SiLU-Linear-SiLU-Linear, scalar per
     edge, producing ``x_i += sum_j (x_i - x_j) * s_ij / (norm + 1)``.
 
+MXU optimisation — node-projection decomposition: the first Linear of an
+edge MLP applied to ``[h_i | h_j | d2]`` is algebraically
+
+    W [h_i | h_j | d2] + b = (W_i h_i) + (W_j h_j) + w_d * d2 + b
+
+so the two H-wide blocks are computed per *node* (O(N) matmuls) and
+broadcast-added over the pair grid, instead of per *edge* (O(N^2) matmuls
+over a 2H+1-wide input that pads badly to the 128-lane MXU tile). Identical
+math and identical parameter shapes — the kernel is stored exactly as the
+fused ``[2H+1, F]`` matrix.
+
 The coordinate-update divisor has a ``compat_scalar_norm`` switch: the
 reference divides by a *single Frobenius norm over the whole edge batch*
 (``torch.norm(coords_i - coords_j)`` without dim=, ref :64). Default is the
@@ -29,30 +40,46 @@ for validation.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 
 from diffusion_model_tpu.ops.angles import pairwise_sq_dist
 
 
-def _silu_mlp(features: Sequence[int], final_act: bool, dtype, name: str,
-              zero_init_last: bool = False):
-    """Linear/SiLU stack; ``features`` lists output sizes of each Linear."""
-    layers = []
-    for i, f in enumerate(features):
-        last = i == len(features) - 1
-        kinit = (
-            nn.initializers.zeros if (last and zero_init_last)
-            else nn.initializers.lecun_normal()
+def _dense_init(key, shape, dtype=jnp.float32):
+    return nn.initializers.lecun_normal()(key, shape, dtype)
+
+
+class _EdgeFirstLayer(nn.Module):
+    """First Linear of an edge MLP, evaluated via node projections.
+
+    Parameters are stored as the fused ``kernel [2H+1, F]`` / ``bias [F]``
+    (same layout a naive Dense over the concatenated edge feature would
+    have), then split into the h_i / h_j / d2 blocks at apply time.
+    """
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, d2):
+        """h: [B,N,H]; d2: [B,N,N,1] -> [B,N,N,features] pre-activation."""
+        hdim = h.shape[-1]
+        kernel = self.param(
+            "kernel", _dense_init, (2 * hdim + 1, self.features)
         )
-        layers.append(
-            nn.Dense(f, dtype=dtype, kernel_init=kinit, name=f"{name}_dense{i}")
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.compute_dtype
+        k = kernel.astype(dt)
+        h = h.astype(dt)
+        proj_i = h @ k[:hdim]            # [B,N,F]
+        proj_j = h @ k[hdim : 2 * hdim]  # [B,N,F]
+        return (
+            proj_i[:, :, None, :]
+            + proj_j[:, None, :, :]
+            + d2.astype(dt) * k[2 * hdim]
+            + bias.astype(dt)
         )
-        if not last or final_act:
-            layers.append(nn.silu)
-    return nn.Sequential(layers)
 
 
 class EGCL(nn.Module):
@@ -86,30 +113,39 @@ class EGCL(nn.Module):
           in ``x`` and produce zero-masked ``h`` updates.
         """
         dt = self.compute_dtype
-        b, n, hdim = h.shape
 
-        mlp_m = _silu_mlp([self.m_hidden, self.m_out], True, dt, "mlp_m")
-        mlp_h = _silu_mlp([self.h_hidden, self.h_out], False, dt, "mlp_h")
-        mlp_x = _silu_mlp([self.x_hidden, self.x_hidden, 1], False, dt,
-                          "mlp_x", zero_init_last=self.zero_init_x)
+        m_first = _EdgeFirstLayer(self.m_hidden, dt, name="mlp_m_dense0")
+        m_second = nn.Dense(self.m_out, dtype=dt, name="mlp_m_dense1")
         att = nn.Dense(1, dtype=dt, name="attention_dense")
+        x_first = _EdgeFirstLayer(self.x_hidden, dt, name="mlp_x_dense0")
+        x_second = nn.Dense(self.x_hidden, dtype=dt, name="mlp_x_dense1")
+        x_last = nn.Dense(
+            1, dtype=dt,
+            kernel_init=(
+                nn.initializers.zeros if self.zero_init_x
+                else nn.initializers.lecun_normal()
+            ),
+            name="mlp_x_dense2",
+        )
+        h_dense0 = nn.Dense(self.h_hidden, dtype=dt, name="mlp_h_dense0")
+        h_dense1 = nn.Dense(self.h_out, dtype=dt, name="mlp_h_dense1")
 
         h_c = h.astype(dt)
         x_c = x.astype(dt)
         d2 = pairwise_sq_dist(x_c)[..., None]            # [B,N,N,1]
-        h_i = jnp.broadcast_to(h_c[:, :, None, :], (b, n, n, hdim))
-        h_j = jnp.broadcast_to(h_c[:, None, :, :], (b, n, n, hdim))
-        edge_feat = jnp.concatenate([h_i, h_j, d2], axis=-1)
+        pm = pair_mask[..., None].astype(dt)
 
         # h-branch: edge messages, attention gate, masked sum over sources j.
-        m = mlp_m(edge_feat)                              # [B,N,N,m_out]
+        m = nn.silu(m_second(nn.silu(m_first(h_c, d2))))  # [B,N,N,m_out]
         m = m * nn.sigmoid(att(m))
-        m = m * pair_mask[..., None].astype(dt)
+        m = m * pm
         m_sum = jnp.sum(m, axis=2)                        # [B,N,m_out]
-        h_new = mlp_h(jnp.concatenate([h_c, m_sum], axis=-1))
+        h_new = h_dense1(
+            nn.silu(h_dense0(jnp.concatenate([h_c, m_sum], axis=-1)))
+        )
 
         # x-branch: scalar weight per edge, equivariant difference update.
-        s = mlp_x(edge_feat)                              # [B,N,N,1]
+        s = x_last(nn.silu(x_second(nn.silu(x_first(h_c, d2)))))
         if self.compat_scalar_norm:
             # Frobenius norm over the whole (masked) edge batch, as in
             # ref EquivariantGraphNeuralNetwork.py:64.
@@ -120,11 +156,11 @@ class EGCL(nn.Module):
             # safe sqrt: masked (diagonal/padded) pairs have d2 == 0 whose
             # sqrt-gradient is inf; 0*inf = NaN would poison the backward
             # pass through the mask multiply, so substitute 1 under the mask.
-            pm = pair_mask[..., None] > 0
-            norm = jnp.sqrt(jnp.where(pm, jnp.maximum(d2, 1e-12), 1.0))
+            pmb = pm > 0
+            norm = jnp.sqrt(jnp.where(pmb, jnp.maximum(d2, 1e-12), 1.0))
         diff = x_c[:, :, None, :] - x_c[:, None, :, :]    # [B,N,N,3]
         upd = diff * s / (norm + 1.0)
-        upd = upd * pair_mask[..., None].astype(dt)
+        upd = upd * pm
         x_new = x_c + jnp.sum(upd, axis=2)
 
         return h_new.astype(h.dtype), x_new.astype(x.dtype)

@@ -1,0 +1,15 @@
+from diffusion_model_tpu.parallel.mesh import (
+    make_mesh,
+    shard_graph_batch,
+    replicate,
+    dp_batch_sharding,
+    node_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_graph_batch",
+    "replicate",
+    "dp_batch_sharding",
+    "node_sharding",
+]
