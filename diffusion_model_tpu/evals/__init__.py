@@ -1,0 +1,45 @@
+from diffusion_model_tpu.evals.rdf import evaluate_rdf_lists, rdf_metrics
+from diffusion_model_tpu.evals.rmsd import (
+    evaluate_by_rmsd,
+    evaluate_by_rmsd_and_atom_type,
+    permutation_min_rmsd,
+    hungarian_align,
+)
+from diffusion_model_tpu.evals.cn2 import (
+    cn2_statistics,
+    per_graph_group_means,
+    r2score,
+    filter_si_o_si,
+)
+from diffusion_model_tpu.evals.density import o_density, density_accuracy
+from diffusion_model_tpu.evals.fingerprint import (
+    guess_bonds,
+    atom_pair_fingerprint,
+    tanimoto_similarity,
+    fingerprint_similarity,
+)
+from diffusion_model_tpu.evals.template import (
+    local_descriptor,
+    template_match,
+)
+
+__all__ = [
+    "evaluate_rdf_lists",
+    "rdf_metrics",
+    "evaluate_by_rmsd",
+    "evaluate_by_rmsd_and_atom_type",
+    "permutation_min_rmsd",
+    "hungarian_align",
+    "cn2_statistics",
+    "per_graph_group_means",
+    "r2score",
+    "filter_si_o_si",
+    "o_density",
+    "density_accuracy",
+    "guess_bonds",
+    "atom_pair_fingerprint",
+    "tanimoto_similarity",
+    "fingerprint_similarity",
+    "local_descriptor",
+    "template_match",
+]

@@ -1,0 +1,79 @@
+"""CN2 (two-coordinated oxygen) angle / bond-length evaluation.
+
+Rebuild of CN2_evaluate.py and evaluate_Si-O-Si.py:
+  * Si-exO-Si angles and bond lengths on device (ops.angles),
+  * per-condition group means over ``gen_num_per_spectrum`` samples
+    (ref CN2_evaluate.py:190-198),
+  * the hand-rolled linear-regression r2score (ref CN2_evaluate.py:23-37),
+  * the amorphous Si-O-Si filter: keep graphs whose exO has exactly two Si
+    neighbours within 2 A (ref evaluate_Si-O-Si.py:23-41).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_model_tpu.ops.angles import cn2_angle_deg, cn2_bond_lengths
+
+
+def cn2_statistics(pos) -> dict:
+    """Angles/bond lengths for a ``[G, >=3, 3]`` stack of CN2 graphs
+    (node 0 = exO, nodes 1..2 = the two Si)."""
+    pos = jnp.asarray(pos)
+    angles = np.asarray(jax.jit(cn2_angle_deg)(pos))
+    l1, l2 = jax.jit(cn2_bond_lengths)(pos)
+    return {
+        "angle_deg": angles,
+        "bond1": np.asarray(l1),
+        "bond2": np.asarray(l2),
+    }
+
+
+def per_graph_group_means(values: np.ndarray, group: int) -> np.ndarray:
+    """Mean over consecutive groups of ``group`` samples (the reference's
+    5-samples-per-condition averaging, ref CN2_evaluate.py:190-198); NaN
+    groups dropped like the reference."""
+    values = np.asarray(values, np.float64)
+    n = (len(values) // group) * group
+    means = values[:n].reshape(-1, group).mean(axis=1)
+    return means[~np.isnan(means)]
+
+
+def r2score(a, b) -> float:
+    """The reference's hand-rolled regression R^2 (ref CN2_evaluate.py:23-37):
+    fit y = slope*x + intercept by least squares, score residuals against
+    the variance of y."""
+    x = np.asarray(a, np.float64)
+    y = np.asarray(b, np.float64)
+    n = len(x)
+    mean_x = x.sum() / n
+    t_xx = np.sum((x - mean_x) ** 2)
+    t_yy = np.sum((y - y.sum() / n) ** 2)
+    t_xy = np.sum((x - mean_x) * (y - y.sum() / n))
+    slope = t_xy / t_xx
+    intercept = y.sum() / n - slope * x.sum() / n
+    resid = y - (intercept + slope * x)
+    return float(1 - np.sum(resid**2) / t_yy)
+
+
+def filter_si_o_si(pos: np.ndarray, species: np.ndarray, mask: np.ndarray,
+                   cutoff: float = 2.0):
+    """Indices of graphs whose exO (node 0) has exactly two Si neighbours
+    within ``cutoff`` (ref evaluate_Si-O-Si.py:23-41), plus the [G,3,3]
+    stack (exO + its two Si) for cn2_statistics."""
+    keep, triplets = [], []
+    for g in range(pos.shape[0]):
+        m = mask[g] > 0
+        p = pos[g][m]
+        sp = species[g][m]
+        d = np.linalg.norm(p[1:] - p[0], axis=-1)
+        is_si = sp[1:, 1] > 0.5
+        near_si = np.nonzero((d < cutoff) & is_si)[0] + 1
+        if len(near_si) == 2:
+            keep.append(g)
+            triplets.append(np.stack([p[0], p[near_si[0]], p[near_si[1]]]))
+    if not triplets:
+        return [], np.zeros((0, 3, 3), np.float32)
+    return keep, np.stack(triplets).astype(np.float32)

@@ -82,6 +82,29 @@ class _EdgeFirstLayer(nn.Module):
         )
 
 
+class _VectorHead(nn.Module):
+    """Dense(features=1) evaluated as multiply-reduce on the VPU.
+
+    Parameter layout identical to ``nn.Dense(1)`` (kernel ``[F, 1]``,
+    bias ``[1]``) so checkpoints/oracles are unaffected.
+    """
+
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, v):
+        f = v.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
+            (f, 1),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        w = kernel[:, 0].astype(v.dtype)
+        return jnp.sum(v * w, axis=-1, keepdims=True) + bias.astype(v.dtype)
+
+
 class EGCL(nn.Module):
     """One equivariant graph convolution layer (dense, masked)."""
 
@@ -116,17 +139,13 @@ class EGCL(nn.Module):
 
         m_first = _EdgeFirstLayer(self.m_hidden, dt, name="mlp_m_dense0")
         m_second = nn.Dense(self.m_out, dtype=dt, name="mlp_m_dense1")
-        att = nn.Dense(1, dtype=dt, name="attention_dense")
+        # Width-1 output heads (attention logit, coordinate scalar) as
+        # explicit multiply-reduce on the VPU: a Dense to 1 output pads the
+        # MXU tile 1 -> 128 lanes, wasting a 128x wider matmul.
+        att = _VectorHead(name="attention_dense")
         x_first = _EdgeFirstLayer(self.x_hidden, dt, name="mlp_x_dense0")
         x_second = nn.Dense(self.x_hidden, dtype=dt, name="mlp_x_dense1")
-        x_last = nn.Dense(
-            1, dtype=dt,
-            kernel_init=(
-                nn.initializers.zeros if self.zero_init_x
-                else nn.initializers.lecun_normal()
-            ),
-            name="mlp_x_dense2",
-        )
+        x_last = _VectorHead(zero_init=self.zero_init_x, name="mlp_x_dense2")
         h_dense0 = nn.Dense(self.h_hidden, dtype=dt, name="mlp_h_dense0")
         h_dense1 = nn.Dense(self.h_out, dtype=dt, name="mlp_h_dense1")
 

@@ -1,0 +1,200 @@
+"""Data pipeline tests: CASTEP cell parsing, spectra, shells, xyz, batching."""
+
+import numpy as np
+import pytest
+
+from diffusion_model_tpu.data.batch import collate, pad_graph
+from diffusion_model_tpu.data.cell import (
+    distance_matrix,
+    lattice_from_parameters,
+    min_image_distance_matrix,
+    read_castep_cell,
+    supercell_333,
+)
+from diffusion_model_tpu.data.shells import (
+    build_dataset,
+    graph_from_structure,
+    shell_indices,
+)
+from diffusion_model_tpu.data.spectra import fitted_intensity
+from diffusion_model_tpu.data.split import batch_iterator, split_dataset
+from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+from diffusion_model_tpu.data.xyz import (
+    read_xyz,
+    write_xyz,
+    write_xyz_overlay,
+)
+
+CELL_TEXT = """%BLOCK LATTICE_ABC
+5.0 5.0 5.0
+90.0 90.0 90.0
+%ENDBLOCK LATTICE_ABC
+
+%BLOCK POSITIONS_FRAC
+O:ex 0.5 0.5 0.5
+Si 0.2 0.5 0.5
+Si 0.8 0.5 0.5
+O 0.5 0.2 0.5
+%ENDBLOCK POSITIONS_FRAC
+"""
+
+
+@pytest.fixture
+def cell_file(tmp_path):
+    p = tmp_path / "coreloss.cell"
+    p.write_text(CELL_TEXT)
+    return str(p)
+
+
+class TestCell:
+    def test_parse(self, cell_file):
+        s = read_castep_cell(cell_file)
+        assert s.num_sites == 4
+        assert s.exo_index == 0
+        assert s.species == ["O", "Si", "Si", "O"]
+        np.testing.assert_allclose(
+            np.abs(np.linalg.det(s.lattice)), 125.0, rtol=1e-6
+        )
+        # cubic cell: cart = frac * 5
+        np.testing.assert_allclose(
+            np.sort(np.abs(s.cart_coords[0])), [2.5, 2.5, 2.5], atol=1e-6
+        )
+
+    def test_lattice_from_parameters_cubic(self):
+        lat = lattice_from_parameters(4, 4, 4, 90, 90, 90)
+        np.testing.assert_allclose(np.abs(np.linalg.det(lat)), 64, rtol=1e-6)
+        # orthogonal rows
+        gram = lat @ lat.T
+        np.testing.assert_allclose(gram, np.eye(3) * 16, atol=1e-6)
+
+    def test_supercell(self, cell_file):
+        s = read_castep_cell(cell_file)
+        sc = supercell_333(s)
+        assert sc.num_sites == 27 * 4
+        assert sc.species[sc.exo_index] == "O"
+        # exO cart position unchanged (central image)
+        np.testing.assert_allclose(
+            sc.cart_coords[sc.exo_index], s.cart_coords[s.exo_index],
+            atol=1e-9,
+        )
+
+    def test_min_image(self, cell_file):
+        s = read_castep_cell(cell_file)
+        d_direct = distance_matrix(s)
+        d_mic = min_image_distance_matrix(s)
+        assert np.all(d_mic <= d_direct + 1e-9)
+        # exO at 0.5 and Si at 0.2: direct 1.5 A, no closer image
+        assert d_mic[0, 1] == pytest.approx(1.5, abs=1e-6)
+
+
+class TestSpectra:
+    def test_fitted_intensity(self, tmp_path):
+        ev = np.linspace(-5, 25, 400)
+        intens = np.exp(-0.5 * ((ev - 8) / 2) ** 2) * 7.3 + 1.0
+        path = tmp_path / "coreloss_core_edge.dat"
+        with open(path, "w") as f:
+            f.write("# header stuff\n#  O 1    K1      O:ex\n")
+            for e, y in zip(ev, intens):
+                f.write(f"{e} {y}\n")
+        out = fitted_intensity(str(path))
+        assert out.shape == (200,)
+        assert out.min() >= -0.05 and out.max() <= 1.05  # normalised
+        # peak near 8 eV -> grid index (8-(-1))/0.1 = 90
+        assert abs(int(np.argmax(out)) - 90) <= 2
+
+
+class TestShells:
+    def test_shell_bfs(self):
+        # chain: 0 -1.5- 1 -1.5- 2 -1.5- 3, plus far atom 4
+        pos = np.array([[0, 0, 0], [1.5, 0, 0], [3.0, 0, 0], [4.5, 0, 0],
+                        [50, 0, 0]], np.float64)
+        d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+        assert shell_indices(d, 0, 1) == [0, 1]
+        assert shell_indices(d, 0, 2) == [0, 1, 2]
+        assert shell_indices(d, 0, 3) == [0, 1, 2, 3]
+
+    def test_build_dataset_end_to_end(self, tmp_path):
+        sample = tmp_path / "sample_001"
+        sample.mkdir()
+        (sample / "coreloss.cell").write_text(CELL_TEXT)
+        ev = np.linspace(-5, 25, 400)
+        intens = np.exp(-0.5 * ((ev - 8) / 2) ** 2) + 0.3
+        with open(sample / "coreloss_core_edge.dat", "w") as f:
+            f.write("#  O 1    K1      O:ex\n")
+            for e, y in zip(ev, intens):
+                f.write(f"{e} {y}\n")
+        ds = build_dataset(str(tmp_path), nn_range="1NN")
+        assert len(ds) == 1
+        g = ds[0]
+        assert g["id"] == "sample_001"
+        # exO at origin with indicator set; spectrum only on row 0
+        np.testing.assert_allclose(g["pos"][0], 0, atol=1e-9)
+        assert g["exo"][0, 0] == 1 and g["exo"][1:].sum() == 0
+        assert g["spectrum"][0].max() > 0
+        np.testing.assert_allclose(g["spectrum"][1:], 0)
+        # exO's 1NN shell: two Si and one O all at 1.5 A
+        assert g["species"][0].tolist() == [1.0, 0.0]
+        assert g["pos"].shape[0] == 4
+        si_count = sum(1 for s in g["species"][1:] if s.tolist() == [0.0, 1.0])
+        o_count = sum(1 for s in g["species"][1:] if s.tolist() == [1.0, 0.0])
+        assert si_count == 2 and o_count == 1
+        np.testing.assert_allclose(
+            np.linalg.norm(g["pos"][1:], axis=-1), 1.5, atol=1e-5
+        )
+
+
+class TestXYZ:
+    def test_roundtrip(self, tmp_path, rng):
+        pos = rng.normal(size=(5, 3)).astype(np.float32)
+        species = np.zeros((5, 2), np.float32)
+        species[:2, 0] = 1
+        species[2:, 1] = 1
+        p = str(tmp_path / "a.xyz")
+        write_xyz(p, pos, species, comment="test")
+        pos2, species2, symbols = read_xyz(p)
+        np.testing.assert_allclose(pos, pos2, rtol=1e-5)
+        np.testing.assert_array_equal(species, species2)
+        assert symbols == ["O", "O", "Si", "Si", "Si"]
+
+    def test_overlay(self, tmp_path, rng):
+        pos = rng.normal(size=(3, 3)).astype(np.float32)
+        species = np.zeros((3, 2), np.float32)
+        species[:, 0] = 1
+        p = str(tmp_path / "o.xyz")
+        write_xyz_overlay(p, pos, species, pos + 1, species)
+        pos2, _, symbols = read_xyz(p)
+        assert len(symbols) == 6
+        assert symbols[:3] == ["F", "F", "F"]  # original uses stand-ins
+        assert symbols[3:] == ["O", "O", "O"]
+
+
+class TestBatching:
+    def test_pad_and_collate(self, rng):
+        ds = synthetic_sio2_dataset(0, 3, n_max=12, spectrum_size=16)
+        batch = collate(ds, n_max=12)
+        assert batch.pos.shape == (3, 12, 3)
+        assert batch.spectrum.shape == (3, 12, 16)
+        counts = [g["pos"].shape[0] for g in ds]
+        np.testing.assert_array_equal(
+            np.asarray(batch.mask).sum(-1), counts
+        )
+
+    def test_pad_overflow_raises(self, rng):
+        with pytest.raises(ValueError):
+            pad_graph(np.zeros((5, 3)), np.zeros((5, 2)), np.zeros((5, 4)),
+                      np.zeros((5, 1)), n_max=4)
+
+    def test_split_deterministic(self):
+        ds = list(range(20))
+        a = split_dataset(ds, seed=11)
+        b = split_dataset(ds, seed=11)
+        assert a == b
+        c = split_dataset(ds, seed=12)
+        assert a != c
+        assert len(a[0]) == 16 and len(a[1]) == 2 and len(a[2]) == 2
+
+    def test_batch_iterator_pads_last(self):
+        ds = synthetic_sio2_dataset(0, 5, n_max=12, spectrum_size=8)
+        batches = list(batch_iterator(ds, 2, 12))
+        assert len(batches) == 3
+        assert all(b.pos.shape[0] == 2 for b in batches)
