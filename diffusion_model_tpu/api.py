@@ -1,0 +1,284 @@
+"""High-level framework API: train / generate / evaluate / schedule plots.
+
+These functions are what the reference's ``main.py`` orchestration does
+inline (ref main.py:204-337), factored as a library surface the CLI drivers
+(and tests) call. Everything host-side here; the hot paths live in
+``train.Trainer`` and ``diffusion.sampler``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.data.batch import GraphBatch, collate
+from diffusion_model_tpu.data.split import batch_iterator, split_dataset
+from diffusion_model_tpu.diffusion import sample, sample_with_retry
+from diffusion_model_tpu.diffusion.sampler import SampleResult, tile_batch
+from diffusion_model_tpu.evals import (
+    density_accuracy,
+    evaluate_by_rmsd,
+    o_density,
+)
+from diffusion_model_tpu.ops.kabsch import kabsch_rmsd
+from diffusion_model_tpu.train import (
+    EarlyStopping,
+    Trainer,
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from diffusion_model_tpu.utils.logging import RunLogger
+
+
+def prepare_dataset(graphs: list, cfg: Config):
+    """Reference preprocessing: truncate spectra to ``spectrum_size`` and
+    drop single-atom graphs (ref main.py:140-144,176)."""
+    out = []
+    for g in graphs:
+        if np.asarray(g["pos"]).shape[0] <= 1:
+            continue
+        g = dict(g)
+        g["spectrum"] = np.asarray(g["spectrum"])[:, : cfg.spectrum_size]
+        out.append(g)
+    return out
+
+
+def fit_n_max(graphs: list, multiple: int = 8) -> int:
+    """Smallest padding size covering the dataset, rounded up for tiling."""
+    biggest = max(np.asarray(g["pos"]).shape[0] for g in graphs)
+    return int(-(-biggest // multiple) * multiple)
+
+
+def train(cfg: Config, dataset: list, run_dir: str,
+          logger: Optional[RunLogger] = None,
+          num_epochs: Optional[int] = None):
+    """Training loop with eval, early stopping and checkpoints
+    (ref main.py:204-228)."""
+    logger = logger or RunLogger(run_dir, cfg)
+    dataset = prepare_dataset(dataset, cfg)
+    train_set, val_set, test_set = split_dataset(dataset, cfg.seed)
+    trainer = Trainer(cfg)
+    example = collate(train_set[: cfg.batch_size], cfg.n_max)
+    key = jax.random.key(cfg.seed)
+    key, init_key = jax.random.split(key)
+    state = trainer.init_state(init_key, example)
+    stopper = EarlyStopping(patience=cfg.patience)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+
+    epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+    for epoch in range(epochs):
+        key, k_tr, k_ev = jax.random.split(key, 3)
+        batches = batch_iterator(
+            train_set, cfg.batch_size, cfg.n_max, seed=cfg.seed + epoch
+        )
+        state, train_loss = trainer.train_epoch(state, k_tr, batches)
+        val_batches = batch_iterator(val_set, cfg.batch_size, cfg.n_max)
+        eval_loss = trainer.eval_epoch(state, k_ev, val_batches)
+        logger.log(
+            {"train_loss": train_loss, "eval_loss": eval_loss}, step=epoch
+        )
+        if stopper.validate(eval_loss):
+            break
+
+    save_checkpoint(ckpt_dir, state, cfg, step=int(state.step))
+    logger.register_artifact("checkpoints", ckpt_dir)
+    return trainer, state, (train_set, val_set, test_set)
+
+
+def load_trained(run_dir: str, cfg: Config, example: GraphBatch):
+    """Restore the latest checkpoint of a run (generate_only/evaluate_only
+    path, ref main.py:236-238)."""
+    trainer = Trainer(cfg)
+    template = trainer.init_state(jax.random.key(0), example)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    state, _ = restore_checkpoint(ckpt_dir, template)
+    return trainer, state
+
+
+def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
+             key=None, gen_num_per_spectrum: Optional[int] = None,
+             batch_size: int = 16, return_trajectory: bool = False):
+    """Sample ``gen_num_per_spectrum`` structures per test condition
+    (ref parts/train_per_iretation.py:264-444).
+
+    Returns dict with original arrays, generated SampleResult fields and the
+    repeat-expanded ids (condition i repeated G times, contiguous — the
+    grouping the CN2 evaluator's group means expect).
+    """
+    g = gen_num_per_spectrum or cfg.gen_num_per_spectrum
+    key = key if key is not None else jax.random.key(cfg.seed)
+    params = state.eval_params(cfg)
+    denoise_fn = trainer.denoise_fn(params)
+    schedule = trainer.schedule_for(params)
+    jitted = jax.jit(
+        partial(sample, denoise_fn, schedule, cfg,
+                return_trajectory=return_trajectory)
+    )
+
+    outs = []
+    ids = []
+    orig_pos, orig_species, masks = [], [], []
+    for start in range(0, len(test_graphs), batch_size):
+        chunk = test_graphs[start : start + batch_size]
+        cond = collate(chunk, cfg.n_max)
+        tiled = tile_batch(cond, g)
+        key, sub = jax.random.split(key)
+        res = sample_with_retry(denoise_fn, schedule, cfg, sub, tiled,
+                                jitted_sample=jitted)
+        outs.append(jax.tree.map(np.asarray, res))
+        for gr in chunk:
+            ids += [gr["id"]] * g
+        orig_pos.append(np.repeat(np.asarray(cond.pos), g, axis=0))
+        orig_species.append(np.repeat(np.asarray(cond.species), g, axis=0))
+        masks.append(np.repeat(np.asarray(cond.mask), g, axis=0))
+
+    def cat(field):
+        return np.concatenate([getattr(o, field) for o in outs], axis=0)
+
+    return {
+        "ids": ids,
+        "original_pos": np.concatenate(orig_pos, axis=0),
+        "original_species": np.concatenate(orig_species, axis=0),
+        "mask": np.concatenate(masks, axis=0),
+        "generated_pos": cat("pos"),
+        "generated_species": cat("species"),
+        "generated_h": cat("h"),
+        "finite": cat("finite"),
+        "accepted": cat("accepted"),
+    }
+
+
+def evaluate(results: dict, run_dir: str, logger: Optional[RunLogger] = None,
+             create_xyz: bool = False):
+    """RMSD-sorted evaluation + O-density accuracy + figures
+    (ref main.py:262-321)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    logger = logger or RunLogger(run_dir)
+    # Keep finite, accepted samples only — the reference's generate() never
+    # returns non-finite or >1000 A structures (ref :431-436); here rejects
+    # are carried in the result masks and dropped at evaluation time.
+    keep = np.nonzero(np.asarray(results["accepted"]))[0]
+    if len(keep) == 0:
+        logger.log({"num_accepted": 0})
+        print("warning: no finite accepted samples to evaluate")
+        return {"sorted_rmsd": [], "atom_type_accuracy": float("nan"),
+                "num_accepted": 0}
+    results = dict(results)
+    results["ids"] = [results["ids"][i] for i in keep]
+    for k in ("original_pos", "original_species", "mask", "generated_pos",
+              "generated_species"):
+        results[k] = np.asarray(results[k])[keep]
+    sorted_rows = evaluate_by_rmsd(
+        results["original_pos"], results["generated_pos"], results["mask"],
+        ids=list(range(len(results["ids"]))),
+    )
+    rmsds = [r[1] for r in sorted_rows]
+
+    fig, ax = plt.subplots()
+    ax.plot(rmsds, marker="o", linestyle="None")
+    ax.set_xlabel("sorted_index")
+    ax.set_ylabel("rmsd")
+    ax.set_yscale("log")
+    ax.set_title("rmsd")
+    logger.log_figure("rmsd", fig)
+    plt.close(fig)
+
+    d_orig = o_density(results["original_species"], results["mask"])
+    d_gen = o_density(results["generated_species"], results["mask"])
+    acc = density_accuracy(d_orig, d_gen)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot([0, 1], [0, 1], "-", color="red", alpha=0.5)
+    ax.plot(d_orig, d_gen, "o", alpha=0.5)
+    ax.set_xlabel("density of O for original")
+    ax.set_ylabel("density of O for generated")
+    ax.set_title(f"atom_type_eval (accuracy {acc:.5f})")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    logger.log_figure("atom_type_eval", fig)
+    plt.close(fig)
+
+    logger.log({
+        "rmsd_best": float(rmsds[0]),
+        "rmsd_median": float(rmsds[len(rmsds) // 2]),
+        "rmsd_worst": float(rmsds[-1]),
+        "atom_type_accuracy": acc,
+        "num_accepted": len(keep),
+    })
+
+    if create_xyz:
+        from diffusion_model_tpu.data.xyz import write_xyz_overlay
+
+        picks = {
+            "first_min_rmsd": 0,
+            "second_min_rmsd": 1,
+            "third_min_rmsd": 2,
+            "mid_rmsd": len(sorted_rows) // 2,
+            "max_rmsd": len(sorted_rows) - 1,
+        }
+        for name, rank in picks.items():
+            if rank >= len(sorted_rows):
+                continue
+            idx, rmsd = sorted_rows[rank][0], sorted_rows[rank][1]
+            n_real = int(results["mask"][idx].sum())
+            write_xyz_overlay(
+                os.path.join(run_dir, f"{name}.xyz"),
+                results["original_pos"][idx][:n_real],
+                results["original_species"][idx][:n_real],
+                results["generated_pos"][idx][:n_real],
+                results["generated_species"][idx][:n_real],
+                comment=f"{name} {results['ids'][idx]} rmsd: {rmsd}",
+            )
+        logger.register_artifact("rmsd_xyz_path", run_dir)
+
+    return {"sorted_rmsd": sorted_rows, "atom_type_accuracy": acc,
+            "num_accepted": int(len(keep))}
+
+
+def record_schedule(cfg: Config, trainer: Trainer, state, run_dir: str,
+                    logger: Optional[RunLogger] = None):
+    """alpha / sigma / SNR (+ gamma when learned) schedule figures
+    (ref parts/def_for_main.py:8-60, main.py:324-337)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    logger = logger or RunLogger(run_dir)
+    schedule = trainer.schedule_for(state.eval_params(cfg))
+    t = np.arange(schedule.alphas.shape[0])
+    alphas = np.asarray(schedule.alphas)
+    sigmas = np.sqrt(np.clip(1 - alphas**2, 0, 1))
+    curves = {
+        "alpha": alphas,
+        "sigma": sigmas,
+        "SNR": (alphas**2) / np.maximum(sigmas**2, 1e-12),
+    }
+    if cfg.noise_schedule == "learned":
+        gamma_params = state.eval_params(cfg)["gamma"]
+        t_grid = jnp.linspace(0, 1, len(t))[:, None]
+        curves["gamma"] = np.asarray(
+            trainer.gamma.apply(gamma_params, t_grid)
+        )[:, 0]
+    paths = {}
+    for name, y in curves.items():
+        fig, ax = plt.subplots()
+        ax.plot(t, y)
+        ax.set_xlabel("t")
+        ax.set_ylabel(name)
+        if name == "SNR":
+            ax.set_yscale("log")
+        ax.set_title(name)
+        paths[name] = logger.log_figure(name, fig)
+        plt.close(fig)
+    return paths

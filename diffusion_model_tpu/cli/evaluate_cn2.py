@@ -1,0 +1,88 @@
+"""CN2 angle/bond evaluator CLI — equivalent of ref CN2_evaluate.py.
+
+For 2-coordinated exO structures: Si-exO-Si angles and bond lengths,
+averaged per condition over the gen_num_per_spectrum samples, scatter with
+marginal histograms and the hand-rolled R^2 score
+(ref CN2_evaluate.py:176-286).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from diffusion_model_tpu.cli.common import load_results
+from diffusion_model_tpu.evals import (
+    cn2_statistics,
+    per_graph_group_means,
+    r2score,
+)
+from diffusion_model_tpu.utils.logging import RunLogger, load_run_config
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", type=str, required=True)
+    args = p.parse_args(argv)
+
+    cfg = load_run_config(args.run_dir)
+    results = load_results(args.run_dir)
+    logger = RunLogger(args.run_dir)
+    g = cfg.gen_num_per_spectrum
+
+    theta = cn2_statistics(results["original_pos"][:, :3])["angle_deg"]
+    phi = cn2_statistics(results["generated_pos"][:, :3])["angle_deg"]
+    avg_theta = per_graph_group_means(theta, g)
+    avg_phi = per_graph_group_means(phi, g)
+    n = min(len(avg_theta), len(avg_phi))
+    avg_theta, avg_phi = avg_theta[:n], avg_phi[:n]
+    r2 = r2score(avg_theta, avg_phi)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.gridspec import GridSpec
+
+    gs = GridSpec(2, 2, height_ratios=[1, 4], width_ratios=[4, 1])
+    fig = plt.figure(figsize=(10, 10))
+    ax_sc = fig.add_subplot(gs[1, 0])
+    ax_hx = fig.add_subplot(gs[0, 0], sharex=ax_sc)
+    ax_hy = fig.add_subplot(gs[1, 1], sharey=ax_sc)
+    ax_sc.plot([0, 180], [0, 180], zorder=3, alpha=0.7)
+    ax_sc.plot(avg_theta, avg_phi, "o", alpha=0.5)
+    ax_sc.set_xlabel("original angle [deg]")
+    ax_sc.set_ylabel("generated angle [deg]")
+    ax_hx.hist(avg_theta, bins=50, range=(70, 180))
+    ax_hy.hist(avg_phi, bins=50, range=(70, 180),
+               orientation="horizontal")
+    ax_sc.set_title(f"Si-exO-Si angle (R^2 = {r2:.4f})")
+    logger.log_figure("cn2_angle_scatter", fig)
+    plt.close(fig)
+
+    b_orig = cn2_statistics(results["original_pos"][:, :3])
+    b_gen = cn2_statistics(results["generated_pos"][:, :3])
+    bonds_orig = np.concatenate([b_orig["bond1"], b_orig["bond2"]])
+    bonds_gen = np.concatenate([b_gen["bond1"], b_gen["bond2"]])
+    r2_bond = r2score(
+        per_graph_group_means(bonds_orig, g),
+        per_graph_group_means(bonds_gen, g),
+    )
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.plot(bonds_orig, bonds_gen, "o", alpha=0.4)
+    lims = [0, max(bonds_orig.max(), bonds_gen.max()) * 1.1]
+    ax.plot(lims, lims, "-", color="red", alpha=0.5)
+    ax.set_xlabel("original bond length [A]")
+    ax.set_ylabel("generated bond length [A]")
+    ax.set_title(f"exO-Si bond length (R^2 = {r2_bond:.4f})")
+    logger.log_figure("cn2_bond_scatter", fig)
+    plt.close(fig)
+
+    logger.log({"cn2_angle_r2": r2, "cn2_bond_r2": r2_bond})
+    print(f"cn2 angle R^2: {r2:.4f}; bond R^2: {r2_bond:.4f} "
+          f"over {n} conditions")
+
+
+if __name__ == "__main__":
+    main()

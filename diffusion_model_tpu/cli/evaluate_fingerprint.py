@@ -1,0 +1,57 @@
+"""Fingerprint similarity CLI — equivalent of ref evaluate_fingerprint.py.
+
+Atom-pair topological fingerprints + count Tanimoto between original and
+generated structures (native implementation; RDKit not in this image).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from diffusion_model_tpu.cli.common import load_results, trim
+from diffusion_model_tpu.evals import fingerprint_similarity
+from diffusion_model_tpu.utils.logging import RunLogger
+
+
+def _symbols(species):
+    return ["Si" if s[1] > 0.5 else "O" for s in species]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", type=str, required=True)
+    args = p.parse_args(argv)
+
+    results = load_results(args.run_dir)
+    logger = RunLogger(args.run_dir)
+    sims = []
+    for i in range(len(results["ids"])):
+        o = trim(results["original_pos"], results["mask"], i)
+        g = trim(results["generated_pos"], results["mask"], i)
+        sp_o = _symbols(trim(results["original_species"], results["mask"], i))
+        sp_g = _symbols(trim(results["generated_species"], results["mask"], i))
+        sims.append(fingerprint_similarity(o, sp_o, g, sp_g))
+    sims = np.asarray(sims)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.hist(sims, bins=30, range=(0, 1))
+    ax.set_xlabel("tanimoto similarity")
+    ax.set_ylabel("count")
+    ax.set_title(f"atom-pair fingerprint similarity "
+                 f"(mean {sims.mean():.4f})")
+    logger.log_figure("fingerprint_similarity", fig)
+    plt.close(fig)
+    logger.log({"fingerprint_similarity_mean": float(sims.mean())})
+    print(f"fingerprint similarity: mean {sims.mean():.4f} "
+          f"std {sims.std():.4f} over {len(sims)} pairs")
+
+
+if __name__ == "__main__":
+    main()
