@@ -1,0 +1,114 @@
+"""Functional fast-path denoiser apply using the fused Pallas EGCL kernel.
+
+Consumes the exact parameter pytree produced by ``DiffusionDenoiser.init``
+(flax stays the source of truth for init/training); this path re-implements
+the forward walk with the per-edge work dispatched to
+``ops.egcl_pallas.egcl_pair_kernel``. Used for sampling (forward-only); the
+XLA dense path remains the correctness oracle and the training path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.ops.com import remove_mean
+from diffusion_model_tpu.ops.egcl_pallas import egcl_pair_kernel
+
+
+def _dense(p, v):
+    return v @ p["kernel"] + p["bias"]
+
+
+def _compressor_apply(params, spectrum, dt):
+    y = spectrum.astype(dt)
+    i = 0
+    while f"dense{i}" in params:
+        y = jax.nn.relu(_dense(
+            jax.tree.map(lambda a: a.astype(dt), params[f"dense{i}"]), y
+        ))
+        i += 1
+    y = _dense(
+        jax.tree.map(lambda a: a.astype(dt), params["dense_out"]), y
+    )
+    return y.astype(spectrum.dtype)
+
+
+def fast_denoise_fn(cfg: Config, denoiser_params,
+                    interpret: bool = False) -> Callable:
+    """Build ``(species_ch, pos, spectrum, exo, t_norm, mask, pair_mask) ->
+    (eps_x, eps_h)`` matching ``DiffusionDenoiser.apply`` over the same
+    params, with Pallas EGCL edge kernels."""
+    p = denoiser_params["params"]
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    hdim = cfg.h_size
+
+    layers = []
+    for l in range(cfg.L):
+        lp = p["egnn"][f"egcl_{l}"]
+        m0k = lp["mlp_m_dense0"]["kernel"]
+        x0k = lp["mlp_x_dense0"]["kernel"]
+        layers.append({
+            "m_wi": m0k[:hdim].astype(dt),
+            "m_wj": m0k[hdim : 2 * hdim].astype(dt),
+            "m_wd": m0k[2 * hdim :].astype(dt),            # [1, F1]
+            "m_b": lp["mlp_m_dense0"]["bias"].astype(dt),
+            "x_wi": x0k[:hdim].astype(dt),
+            "x_wj": x0k[hdim : 2 * hdim].astype(dt),
+            "x_wd": x0k[2 * hdim :].astype(dt),
+            "x_b": lp["mlp_x_dense0"]["bias"].astype(dt),
+            "w2m": lp["mlp_m_dense1"]["kernel"].astype(dt),
+            "b2m": lp["mlp_m_dense1"]["bias"][None].astype(jnp.float32),
+            "wa": lp["attention_dense"]["kernel"].astype(jnp.float32),
+            "ba": lp["attention_dense"]["bias"][None].astype(jnp.float32),
+            "w2x": lp["mlp_x_dense1"]["kernel"].astype(dt),
+            "b2x": lp["mlp_x_dense1"]["bias"][None].astype(jnp.float32),
+            "wx3": lp["mlp_x_dense2"]["kernel"].astype(jnp.float32),
+            "bx3": lp["mlp_x_dense2"]["bias"][None].astype(jnp.float32),
+            "h0": lp["mlp_h_dense0"],
+            "h1": lp["mlp_h_dense1"],
+        })
+    comp = p.get("spectrum_compressor")
+
+    def fn(species_ch, pos, spectrum, exo, t_norm, mask, pair_mask):
+        feats = [species_ch]
+        if cfg.conditional:
+            if cfg.to_compress_spectrum:
+                feats.append(_compressor_apply(comp, spectrum, dt))
+            else:
+                feats.append(spectrum)
+        if cfg.give_exO:
+            feats.append(exo)
+        feats.append(t_norm)
+        h = jnp.concatenate(feats, axis=-1)
+
+        x = pos
+        mask3 = mask[..., None]
+        for lp in layers:
+            h_c = h.astype(dt)
+            am_i = h_c @ lp["m_wi"] + lp["m_b"]
+            am_j = h_c @ lp["m_wj"]
+            ax_i = h_c @ lp["x_wi"] + lp["x_b"]
+            ax_j = h_c @ lp["x_wj"]
+            m_sum, x_new = egcl_pair_kernel(
+                am_i, am_j, ax_i, ax_j, x.astype(jnp.float32),
+                mask3.astype(jnp.float32),
+                lp["m_wd"], lp["x_wd"], lp["w2m"], lp["b2m"], lp["wa"],
+                lp["ba"], lp["w2x"], lp["b2x"], lp["wx3"], lp["bx3"],
+                interpret=interpret,
+            )
+            cat = jnp.concatenate([h_c, m_sum.astype(dt)], axis=-1)
+            h0 = jax.tree.map(lambda a: a.astype(dt), lp["h0"])
+            h1 = jax.tree.map(lambda a: a.astype(dt), lp["h1"])
+            h = _dense(h1, jax.nn.silu(_dense(h0, cat))).astype(h.dtype)
+            x = x_new.astype(pos.dtype)
+
+        eps_x = remove_mean((x - pos) * mask3, mask)
+        eps_h = h[..., : cfg.atom_type_size] * mask3
+        return eps_x, eps_h
+
+    return fn

@@ -1,0 +1,208 @@
+"""Fused Pallas TPU kernel for the EGCL edge computation.
+
+This is the framework's native hot-path kernel (SURVEY.md §2.7: the
+reference's equivalent native surface is PyG's CUDA scatter kernels reached
+through ``MessagePassing.propagate``). One kernel invocation fuses, per
+(target-block i, source-block j) tile of the dense pair grid:
+
+    pre_m = Am_i + Bm_j + d2 * w_dm          (node projections from XLA)
+    m     = silu(silu(pre_m) @ W2m + b2m)
+    m    *= sigmoid(m @ wa + ba)             (attention gate, h-branch only)
+    m_sum += sum_j m * pair_mask             -> [TI, m_out]
+    pre_x = Ax_i + Bx_j + d2 * w_dx
+    u     = silu(silu(pre_x) @ W2x + b2x)
+    s     = u @ wx3 + bx3                    (scalar per edge)
+    x_out += sum_j (x_i - x_j) * s / (|x_i - x_j| + 1) * pair_mask
+
+keeping every [edges, 1024] intermediate in VMEM — the XLA dense path
+round-trips them through HBM. First-layer matmuls are hoisted to XLA as
+per-node projections (see nn/egnn.py node-projection decomposition), so the
+kernel's MXU work is exactly the two big second-layer matmuls.
+
+Grid: (B, N/TI, N/TJ) with the j axis innermost; output blocks for (b, i)
+are revisited across j and accumulated in VMEM (init at j == 0).
+
+Forward-only: the sampler's hot loop needs no gradients; training uses the
+XLA path. The ``compat_scalar_norm`` quirk mode is not supported here (use
+the XLA path for bit-exact reference validation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(am_i_ref, am_j_ref, ax_i_ref, ax_j_ref, x_i_ref, x_j_ref,
+            mask_i_ref, mask_j_ref, w_dm_ref, w_dx_ref, w2m_ref, b2m_ref,
+            wa_ref, ba_ref, w2x_ref, b2x_ref, wx3_ref, bx3_ref,
+            m_sum_ref, x_out_ref, *, ti: int, tj: int, n: int,
+            acc_dtype):
+    j_step = pl.program_id(2)
+
+    @pl.when(j_step == 0)
+    def _init():
+        m_sum_ref[...] = jnp.zeros_like(m_sum_ref)
+        x_out_ref[...] = x_i_ref[0].astype(x_out_ref.dtype)[None]
+
+    x_i = x_i_ref[0].astype(acc_dtype)            # [TI, 3]
+    x_j = x_j_ref[0].astype(acc_dtype)            # [TJ, 3]
+    diff = x_i[:, None, :] - x_j[None, :, :]       # [TI, TJ, 3]
+    d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)  # [TI, TJ, 1]
+
+    # pair mask: both real, i != j
+    i0 = pl.program_id(1) * ti
+    j0 = j_step * tj
+    ii = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0) + i0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1) + j0
+    neq = (ii != jj).astype(acc_dtype)[..., None]
+    pm = (
+        mask_i_ref[0].astype(acc_dtype)[:, None, :]
+        * mask_j_ref[0].astype(acc_dtype)[None, :, :]
+        * neq
+    )                                              # [TI, TJ, 1]
+
+    cdt = am_i_ref.dtype
+    d2_c = d2.astype(cdt)
+
+    def _silu(v):
+        # dtype-stable silu: jax.nn.silu introduces f32 scalar broadcasts
+        # that Mosaic rejects on bf16 vectors; compute the gate in f32.
+        f = v.astype(acc_dtype)
+        return (f * jax.nn.sigmoid(f)).astype(v.dtype)
+
+    def edge_matmul(pre, w_ref, b_ref):
+        act = _silu(pre)
+        out = jax.lax.dot_general(
+            act, w_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+        return out + b_ref[...].astype(acc_dtype)
+
+    # --- h branch ---
+    pre_m = (
+        am_i_ref[0][:, None, :] + am_j_ref[0][None, :, :]
+        + d2_c * w_dm_ref[...][None]
+    )                                              # [TI, TJ, F1]
+    m = _silu(edge_matmul(pre_m, w2m_ref, b2m_ref))  # [TI, TJ, Fm]
+    att_logit = (
+        jnp.sum(m * wa_ref[...][:, 0].astype(acc_dtype), axis=-1,
+                keepdims=True)
+        + ba_ref[0, 0].astype(acc_dtype)
+    )
+    m = m * jax.nn.sigmoid(att_logit) * pm
+    m_sum_ref[...] += jnp.sum(m, axis=1)[None].astype(m_sum_ref.dtype)
+
+    # --- x branch ---
+    pre_x = (
+        ax_i_ref[0][:, None, :] + ax_j_ref[0][None, :, :]
+        + d2_c * w_dx_ref[...][None]
+    )
+    u = _silu(edge_matmul(pre_x, w2x_ref, b2x_ref))  # [TI, TJ, F1]
+    s = (
+        jnp.sum(u * wx3_ref[...][:, 0].astype(acc_dtype), axis=-1,
+                keepdims=True)
+        + bx3_ref[0, 0].astype(acc_dtype)
+    )
+    norm = jnp.sqrt(jnp.where(pm > 0, jnp.maximum(d2, 1e-12), 1.0))
+    upd = diff * s / (norm + 1.0) * pm
+    x_out_ref[...] += jnp.sum(upd, axis=1)[None].astype(x_out_ref.dtype)
+
+
+def _pick_tj(n: int, f1: int, budget_bytes: int = 4 * 1024 * 1024) -> int:
+    """Largest divisor of n, multiple of 8, with an [8, TJ, F1] bf16 tile
+    under the VMEM budget."""
+    limit = max(8, budget_bytes // (8 * f1 * 2))
+    best = 8
+    for tj in range(8, min(n, limit) + 1, 8):
+        if n % tj == 0:
+            best = tj
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ti", "interpret"),
+)
+def egcl_pair_kernel(am_i, am_j, ax_i, ax_j, x, mask, w_dm, w_dx, w2m, b2m,
+                     wa, ba, w2x, b2x, wx3, bx3, *, ti: int = 8,
+                     interpret: bool = False):
+    """Fused edge computation over the dense pair grid.
+
+    Args:
+      am_i/am_j: ``[B, N, F1]`` m-branch node projections (i-part carries the
+        first-layer bias).
+      ax_i/ax_j: ``[B, N, F1]`` x-branch node projections.
+      x: ``[B, N, 3]`` coordinates; mask: ``[B, N, 1]``.
+      w_dm/w_dx: ``[1, F1]`` first-layer d2 rows.
+      w2m/b2m: ``[F1, Fm]`` / ``[1, Fm]``; wa/ba: ``[Fm, 1]`` / ``[1, 1]``.
+      w2x/b2x: ``[F1, F1]`` / ``[1, F1]``; wx3/bx3: ``[F1, 1]`` / ``[1, 1]``.
+
+    Returns:
+      (m_sum ``[B, N, Fm]`` f32, x_out ``[B, N, 3]`` f32 = x + update).
+    """
+    b, n, f1 = am_i.shape
+    fm = w2m.shape[1]
+    if n % ti != 0:
+        raise ValueError(f"N={n} must be a multiple of ti={ti}")
+    tj = _pick_tj(n, f1)
+    grid = (b, n // ti, n // tj)
+
+    # explicit index maps (i-blocks vs j-blocks)
+    def i_spec(width):
+        return pl.BlockSpec((1, ti, width), lambda bi, i, j: (bi, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def j_spec(width):
+        return pl.BlockSpec((1, tj, width), lambda bi, i, j: (bi, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(rows, cols):
+        return pl.BlockSpec((rows, cols), lambda bi, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((b, n, fm), jnp.float32),
+        jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, ti, fm), lambda bi, i, j: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ti, 3), lambda bi, i, j: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    in_specs = [
+        i_spec(f1), j_spec(f1),          # am_i, am_j
+        i_spec(f1), j_spec(f1),          # ax_i, ax_j
+        i_spec(3), j_spec(3),            # x_i, x_j
+        i_spec(1), j_spec(1),            # mask_i, mask_j
+        full_spec(1, f1), full_spec(1, f1),    # w_dm, w_dx
+        full_spec(f1, fm), full_spec(1, fm),   # w2m, b2m
+        full_spec(fm, 1), full_spec(1, 1),     # wa, ba
+        full_spec(f1, f1), full_spec(1, f1),   # w2x, b2x
+        full_spec(f1, 1), full_spec(1, 1),     # wx3, bx3
+    ]
+
+    kernel = functools.partial(
+        _kernel, ti=ti, tj=tj, n=n, acc_dtype=jnp.float32
+    )
+    flops_per_edge = 2 * f1 * fm + 2 * f1 * f1
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * n * n * flops_per_edge,
+            bytes_accessed=(4 * b * n * f1 + b * n * (fm + 3) * 4) * 2,
+            transcendentals=b * n * n * (f1 * 2 + fm + 2),
+        ),
+    )(am_i, am_j, ax_i, ax_j, x, x, mask, mask, w_dm, w_dx, w2m, b2m,
+      wa, ba, w2x, b2x, wx3, bx3)

@@ -1,0 +1,67 @@
+"""Pallas fused EGCL kernel vs the XLA dense oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.data.batch import collate
+from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+from diffusion_model_tpu.nn import DiffusionDenoiser
+from diffusion_model_tpu.nn.fast_apply import fast_denoise_fn
+
+
+def make_setup(n_max=16, b=2, zero_init=False):
+    cfg = Config(
+        n_max=n_max, L=2, m_hidden_size=32, h_hidden_size=32,
+        x_hidden_size=32, m_size=16, spectrum_size=24,
+        compressed_spectrum_size=8, compressor_hidden_dim=(16,),
+        zero_init_x=zero_init,
+    )
+    graphs = synthetic_sio2_dataset(0, b, cfg.n_max,
+                                    spectrum_size=cfg.spectrum_size,
+                                    shells=2)
+    batch = collate(graphs, cfg.n_max)
+    model = DiffusionDenoiser(cfg)
+    n = cfg.n_max
+    t_norm = jnp.full((b, n, 1), 0.4) * batch.mask[..., None]
+    rng = np.random.default_rng(5)
+    species_ch = jnp.asarray(rng.normal(size=(b, n, 2)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), species_ch, pos, batch.spectrum,
+                        batch.exo, t_norm, batch.mask, batch.pair_mask())
+    args = (species_ch, pos, batch.spectrum, batch.exo, t_norm, batch.mask,
+            batch.pair_mask())
+    return cfg, model, params, args
+
+
+class TestPallasEGCL:
+    def test_matches_xla_path(self):
+        cfg, model, params, args = make_setup()
+        want_x, want_h = model.apply(params, *args)
+        fast = fast_denoise_fn(cfg, params, interpret=True)
+        got_x, got_h = fast(*args)
+        np.testing.assert_allclose(np.asarray(want_x), np.asarray(got_x),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(want_h), np.asarray(got_h),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_matches_with_nontrivial_x_branch(self):
+        # zero_init_x=False so the coordinate branch carries real signal
+        cfg, model, params, args = make_setup(zero_init=False, n_max=24, b=1)
+        want_x, want_h = model.apply(params, *args)
+        fast = fast_denoise_fn(cfg, params, interpret=True)
+        got_x, got_h = fast(*args)
+        np.testing.assert_allclose(np.asarray(want_x), np.asarray(got_x),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(want_h), np.asarray(got_h),
+                                   rtol=5e-4, atol=5e-5)
+
+    def test_padding_inert(self):
+        cfg, model, params, args = make_setup(n_max=16, b=2)
+        fast = fast_denoise_fn(cfg, params, interpret=True)
+        eps_x, eps_h = fast(*args)
+        mask = np.asarray(args[5])
+        np.testing.assert_allclose(np.asarray(eps_x)[mask == 0], 0.0)
+        np.testing.assert_allclose(np.asarray(eps_h)[mask == 0], 0.0)
