@@ -59,6 +59,22 @@ class Config:
     patience: int = 5000
     seed: int = 2024
 
+    # --- model variants ---
+    diffuse_species: bool = True
+    # True  = joint (x, h) diffusion (ref diffusion_x_h.py via main.py)
+    # False = position-only diffusion with clean species features
+    #         (ref E3diffusion_new.py via train.py/test.py)
+    kabsch_loss: bool = False
+    # adds loss_coords: full reverse diffusion inside the train step scored
+    # by Kabsch RMSD against ground truth (ref train_2024_11.py:204-237)
+    kabsch_loss_steps: int = 0   # 0 = use num_diffusion_timestep
+    kabsch_loss_weight: float = 1.0
+    spectrum_to_latent: bool = False
+    # Encoder/Decoder conditioning path (ref main.py:97-98,155-166; the
+    # reference's spectrum_to_latent module was never committed — this is
+    # the documented extension point, see nn/spectrum_latent.py)
+    latent_dim: int = 32
+
     # --- sampling ---
     gen_num_per_spectrum: int = 5  # ref parts/train_per_iretation.py:264
     max_nan_retries: int = 10      # ref parts/train_per_iretation.py:379-389
@@ -89,6 +105,11 @@ class Config:
     def cond_spectrum_size(self) -> int:
         if not self.conditional:
             return 0
+        if self.spectrum_to_latent:
+            # ref main.py:97-98: spectrum_size becomes the latent dim
+            # (mutually exclusive with compression, ref main.py:52)
+            assert not self.to_compress_spectrum
+            return self.latent_dim
         return (
             self.compressed_spectrum_size
             if self.to_compress_spectrum

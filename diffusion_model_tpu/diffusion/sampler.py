@@ -73,7 +73,12 @@ def sample(
     m3 = mask[..., None]
     # N(0,1) init, positions CoM-removed (ref :301-305)
     pos0 = remove_mean(jax.random.normal(k_pos, (b, n, 3)), mask)
-    h0 = jax.random.normal(k_h, (b, n, a_dim)) * m3
+    if cfg.diffuse_species:
+        h0 = jax.random.normal(k_h, (b, n, a_dim)) * m3
+    else:
+        # position-only variant: species fixed to the condition's
+        # (ref test.py:206-321 samples positions with known species)
+        h0 = cond.species
 
     def denoise(pos, h, t_norm_scalar):
         t_norm = jnp.full((b, n, 1), t_norm_scalar, pos.dtype) * m3
@@ -88,11 +93,14 @@ def sample(
         new_pos = reverse_diffuse_one_step(
             schedule, k1, pos, eps_x, t, mode="pos", mask=mask
         )
-        # The reference applies the reverse step to the scaled species
-        # channel graph.h[:, :A] = scale * graph.x (ref :373).
-        new_h = reverse_diffuse_one_step(
-            schedule, k2, scale * h, eps_h, t, mode="h", mask=mask
-        )
+        if cfg.diffuse_species:
+            # The reference applies the reverse step to the scaled species
+            # channel graph.h[:, :A] = scale * graph.x (ref :373).
+            new_h = reverse_diffuse_one_step(
+                schedule, k2, scale * h, eps_h, t, mode="h", mask=mask
+            )
+        else:
+            new_h = h
         out = (new_pos, new_h) if return_trajectory else None
         return (new_pos, new_h, k), out
 
@@ -103,10 +111,15 @@ def sample(
     eps_x, eps_h = denoise(pos, h, 0.0)
     key, k1, k2 = jax.random.split(key, 3)
     pos = final_denoise_step(schedule, k1, pos, eps_x, mode="pos", mask=mask)
-    h = final_denoise_step(schedule, k2, scale * h, eps_h, mode="h", mask=mask)
-
-    species = jax.nn.one_hot(jnp.argmax(h, axis=-1), a_dim, dtype=pos.dtype)
-    species = species * m3
+    if cfg.diffuse_species:
+        h = final_denoise_step(schedule, k2, scale * h, eps_h, mode="h",
+                               mask=mask)
+        species = jax.nn.one_hot(
+            jnp.argmax(h, axis=-1), a_dim, dtype=pos.dtype
+        )
+        species = species * m3
+    else:
+        species = cond.species
 
     flat = lambda z: z.reshape(b, -1)
     finite = (

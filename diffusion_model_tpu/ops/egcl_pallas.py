@@ -42,6 +42,10 @@ def _kernel(am_i_ref, am_j_ref, ax_i_ref, ax_j_ref, x_i_ref, x_j_ref,
             wa_ref, ba_ref, w2x_ref, b2x_ref, wx3_ref, bx3_ref,
             m_sum_ref, x_out_ref, *, ti: int, tj: int, n: int,
             acc_dtype):
+    """Flat edge layout: the TI x TJ pair tile is flattened to E = TI*TJ
+    edge rows so both big matmuls run with M = E on the MXU (a 3-D batched
+    dot with M = TJ per slice measured ~30% slower). The i-side row-repeat
+    is a one-hot selection matmul; the j-side tile uses pltpu.repeat."""
     j_step = pl.program_id(2)
 
     @pl.when(j_step == 0)
@@ -49,25 +53,41 @@ def _kernel(am_i_ref, am_j_ref, ax_i_ref, ax_j_ref, x_i_ref, x_j_ref,
         m_sum_ref[...] = jnp.zeros_like(m_sum_ref)
         x_out_ref[...] = x_i_ref[0].astype(x_out_ref.dtype)[None]
 
-    x_i = x_i_ref[0].astype(acc_dtype)            # [TI, 3]
-    x_j = x_j_ref[0].astype(acc_dtype)            # [TJ, 3]
-    diff = x_i[:, None, :] - x_j[None, :, :]       # [TI, TJ, 3]
-    d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)  # [TI, TJ, 1]
-
-    # pair mask: both real, i != j
-    i0 = pl.program_id(1) * ti
-    j0 = j_step * tj
-    ii = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0) + i0
-    jj = jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1) + j0
-    neq = (ii != jj).astype(acc_dtype)[..., None]
-    pm = (
-        mask_i_ref[0].astype(acc_dtype)[:, None, :]
-        * mask_j_ref[0].astype(acc_dtype)[None, :, :]
-        * neq
-    )                                              # [TI, TJ, 1]
-
+    e = ti * tj
     cdt = am_i_ref.dtype
-    d2_c = d2.astype(cdt)
+
+    # flat index helpers: edge k <-> (i_loc = k // tj, j_loc = k % tj)
+    k_col = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)
+    i_loc = k_col // tj
+    j_loc = k_col - i_loc * tj
+
+    # i-side expansion: one-hot R [E, TI], rep_i(A) = R @ A (25 MFLOP at
+    # F1=1024 vs ~4 GFLOP tile work — noise)
+    sel_cols = jax.lax.broadcasted_iota(jnp.int32, (e, ti), 1)
+    r_onehot = (i_loc == sel_cols).astype(cdt)
+
+    def rep_i(block):
+        return jax.lax.dot_general(
+            r_onehot, block.astype(cdt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
+
+    def tile_j(block):  # [TJ, F] -> [E, F], j pattern cycling fastest
+        return pltpu.repeat(block, ti, axis=0)
+
+    x_if = rep_i(x_i_ref[0])                     # [E, 3] f32
+    x_jf = tile_j(x_j_ref[0]).astype(acc_dtype)
+    diff = x_if - x_jf
+    d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)  # [E, 1]
+
+    # pair mask: both endpoints real and i != j
+    i_g = i_loc + pl.program_id(1) * ti
+    j_g = j_loc + j_step * tj
+    neq = (i_g != j_g).astype(acc_dtype)
+    pm = (
+        rep_i(mask_i_ref[0]) * tile_j(mask_j_ref[0]).astype(acc_dtype) * neq
+    )                                            # [E, 1]
 
     def _silu(v):
         # dtype-stable silu: jax.nn.silu introduces f32 scalar broadcasts
@@ -79,39 +99,53 @@ def _kernel(am_i_ref, am_j_ref, ax_i_ref, ax_j_ref, x_i_ref, x_j_ref,
         act = _silu(pre)
         out = jax.lax.dot_general(
             act, w_ref[...],
-            dimension_numbers=(((2,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
-        return out + b_ref[...].astype(acc_dtype)
+        return (out + b_ref[...].astype(acc_dtype)).astype(act.dtype)
+
+    d2_c = d2.astype(cdt)
+
+    # group-sum selection: S [TI, E], S[t, k] = (k // tj == t)
+    grp_rows = jax.lax.broadcasted_iota(jnp.int32, (ti, e), 0)
+    grp_cols = jax.lax.broadcasted_iota(jnp.int32, (ti, e), 1) // tj
+    sel_sum = (grp_rows == grp_cols).astype(acc_dtype)
+
+    def group_sum(v):  # [E, F] -> [TI, F]
+        return jax.lax.dot_general(
+            sel_sum, v.astype(acc_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )
 
     # --- h branch ---
     pre_m = (
-        am_i_ref[0][:, None, :] + am_j_ref[0][None, :, :]
-        + d2_c * w_dm_ref[...][None]
-    )                                              # [TI, TJ, F1]
-    m = _silu(edge_matmul(pre_m, w2m_ref, b2m_ref))  # [TI, TJ, Fm]
+        rep_i(am_i_ref[0]).astype(cdt) + tile_j(am_j_ref[0])
+        + d2_c * w_dm_ref[...]
+    )                                            # [E, F1]
+    m = _silu(edge_matmul(pre_m, w2m_ref, b2m_ref))  # [E, Fm]
     att_logit = (
-        jnp.sum(m * wa_ref[...][:, 0].astype(acc_dtype), axis=-1,
-                keepdims=True)
+        jnp.sum(m.astype(acc_dtype) * wa_ref[...][:, 0].astype(acc_dtype),
+                axis=-1, keepdims=True)
         + ba_ref[0, 0].astype(acc_dtype)
     )
-    m = m * jax.nn.sigmoid(att_logit) * pm
-    m_sum_ref[...] += jnp.sum(m, axis=1)[None].astype(m_sum_ref.dtype)
+    m = m.astype(acc_dtype) * jax.nn.sigmoid(att_logit) * pm
+    m_sum_ref[...] += group_sum(m)[None].astype(m_sum_ref.dtype)
 
     # --- x branch ---
     pre_x = (
-        ax_i_ref[0][:, None, :] + ax_j_ref[0][None, :, :]
-        + d2_c * w_dx_ref[...][None]
+        rep_i(ax_i_ref[0]).astype(cdt) + tile_j(ax_j_ref[0])
+        + d2_c * w_dx_ref[...]
     )
-    u = _silu(edge_matmul(pre_x, w2x_ref, b2x_ref))  # [TI, TJ, F1]
+    u = _silu(edge_matmul(pre_x, w2x_ref, b2x_ref))  # [E, F1]
     s = (
-        jnp.sum(u * wx3_ref[...][:, 0].astype(acc_dtype), axis=-1,
-                keepdims=True)
+        jnp.sum(u.astype(acc_dtype) * wx3_ref[...][:, 0].astype(acc_dtype),
+                axis=-1, keepdims=True)
         + bx3_ref[0, 0].astype(acc_dtype)
     )
     norm = jnp.sqrt(jnp.where(pm > 0, jnp.maximum(d2, 1e-12), 1.0))
     upd = diff * s / (norm + 1.0) * pm
-    x_out_ref[...] += jnp.sum(upd, axis=1)[None].astype(x_out_ref.dtype)
+    x_out_ref[...] += group_sum(upd)[None].astype(x_out_ref.dtype)
 
 
 def _pick_tj(n: int, f1: int, budget_bytes: int = 4 * 1024 * 1024) -> int:

@@ -36,13 +36,20 @@ def diffuse_batch(schedule: Schedule, cfg: Config, key, batch: GraphBatch):
     pos_t, eps_pos = diffuse_zero_to_t(
         schedule, k_pos, batch.pos, t, mode="pos", mask=batch.mask
     )
-    h_t, eps_h = diffuse_zero_to_t(
-        schedule, k_h, batch.species, t, mode="h", mask=batch.mask
-    )
+    if cfg.diffuse_species:
+        h_t, eps_h = diffuse_zero_to_t(
+            schedule, k_h, batch.species, t, mode="h", mask=batch.mask
+        )
+    else:
+        # position-only variant: clean species features, no h target
+        # (ref train.py:247-283 trains on the position noise alone)
+        h_t = batch.species
+        eps_h = jnp.zeros_like(batch.species)
     return pos_t, h_t, t, eps_pos, eps_h
 
 
-def epsilon_loss(eps_x_pred, eps_h_pred, eps_x, eps_h, mask):
+def epsilon_loss(eps_x_pred, eps_h_pred, eps_x, eps_h, mask,
+                 include_h: bool = True):
     """Sum-MSE over [eps_x | eps_h] with the reference's normalisations.
 
     Returns:
@@ -51,9 +58,9 @@ def epsilon_loss(eps_x_pred, eps_h_pred, eps_x, eps_h, mask):
        num_nodes     = real atoms in the batch)
     """
     m3 = mask[..., None]
-    sq = jnp.sum(((eps_x_pred - eps_x) ** 2) * m3) + jnp.sum(
-        ((eps_h_pred - eps_h) ** 2) * m3
-    )
+    sq = jnp.sum(((eps_x_pred - eps_x) ** 2) * m3)
+    if include_h:
+        sq = sq + jnp.sum(((eps_h_pred - eps_h) ** 2) * m3)
     num_graphs = jnp.asarray(mask.shape[0], sq.dtype)
     num_nodes = jnp.sum(mask)
     return sq / num_graphs, sq, num_nodes

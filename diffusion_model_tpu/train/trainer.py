@@ -167,9 +167,42 @@ class Trainer:
             t_norm, batch.mask, batch.pair_mask(),
         )
         loss, sum_sq, num_nodes = epsilon_loss(
-            eps_x_pred, eps_h_pred, eps_pos, eps_h, batch.mask
+            eps_x_pred, eps_h_pred, eps_pos, eps_h, batch.mask,
+            include_h=cfg.diffuse_species,
         )
+        if cfg.kabsch_loss:
+            loss = loss + cfg.kabsch_loss_weight * self._kabsch_loss(
+                params, key, batch, schedule
+            )
         return loss, (sum_sq, num_nodes)
+
+    def _kabsch_loss(self, params, key, batch: GraphBatch, schedule):
+        """Coordinate loss: differentiate through the full reverse chain and
+        score the generated positions with Kabsch RMSD against ground truth
+        (ref train_2024_11.py:204-237: loss = loss_noise + loss_coords).
+        The scan body is rematerialised so the T-step chain doesn't hold all
+        activations."""
+        from jax import checkpoint as remat
+
+        from diffusion_model_tpu.diffusion.sampler import sample
+        from diffusion_model_tpu.ops.kabsch import kabsch_rmsd
+
+        cfg = self.cfg
+        steps = cfg.kabsch_loss_steps or cfg.num_diffusion_timestep
+        sub_cfg = cfg.replace(num_diffusion_timestep=steps)
+        if steps != cfg.num_diffusion_timestep:
+            # subsample the schedule table onto the reduced step count
+            idx = jnp.linspace(
+                0, cfg.num_diffusion_timestep, steps + 1
+            ).astype(jnp.int32)
+            schedule = Schedule(alphas=schedule.alphas[idx])
+
+        denoise_fn = remat(
+            lambda *args: self.model.apply(params["denoiser"], *args)
+        )
+        res = sample(denoise_fn, schedule, sub_cfg, key, batch)
+        rmsd = kabsch_rmsd(res.pos, batch.pos, batch.mask)
+        return jnp.mean(rmsd)
 
     # -- steps ----------------------------------------------------------
     def _train_step_impl(self, state: TrainState, key, batch: GraphBatch):
