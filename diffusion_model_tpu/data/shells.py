@@ -81,9 +81,52 @@ def graph_from_structure(struct: CellStructure, indices: list,
 RANGE_TO_SHELLS = {"1NN": 1, "2NN": 2, "3NN": 3, "4NN": 4}
 
 
+def _graph_from_native(base: CellStructure, pos: np.ndarray,
+                       src: np.ndarray, spectrum: np.ndarray,
+                       graph_id: str) -> dict:
+    species = np.stack(
+        [SPECIES_ONEHOT[base.species[i]] for i in src]
+    ).astype(np.float32)
+    n = pos.shape[0]
+    spec = np.zeros((n, spectrum.shape[0]), np.float32)
+    spec[0] = spectrum
+    exo_col = np.zeros((n, 1), np.float32)
+    exo_col[0, 0] = 1.0
+    return {
+        "pos": pos.astype(np.float32),
+        "species": species,
+        "spectrum": spec,
+        "exo": exo_col,
+        "id": graph_id,
+    }
+
+
+def build_graph(struct_base: CellStructure, n_shells: int,
+                spectrum: np.ndarray, graph_id: str,
+                use_native: bool | None = None,
+                cutoff: float = BOND_CUTOFF) -> dict:
+    """Shell extraction for one structure; native C++ path when available
+    (data/native.py), numpy otherwise — identical selection and ordering."""
+    from diffusion_model_tpu.data import native
+
+    if use_native is None:
+        use_native = native.available()
+    if use_native:
+        pos, src = native.build_shells_native(
+            struct_base.lattice, struct_base.frac_coords,
+            struct_base.exo_index, n_shells, cutoff,
+        )
+        return _graph_from_native(struct_base, pos, src, spectrum, graph_id)
+    struct = supercell_333(struct_base)
+    dist = distance_matrix(struct)
+    indices = shell_indices(dist, struct.exo_index, n_shells, cutoff)
+    return graph_from_structure(struct, indices, spectrum, graph_id)
+
+
 def build_dataset(cell_dir: str, nn_range: str = "2NN",
                   cell_name: str = "coreloss.cell",
-                  edge_name: str = "coreloss_core_edge.dat") -> list:
+                  edge_name: str = "coreloss_core_edge.dat",
+                  use_native: bool | None = None) -> list:
     """Walk sample directories and build the shell dataset
     (ref make_dataset.py:60-143)."""
     if nn_range not in RANGE_TO_SHELLS:
@@ -95,9 +138,9 @@ def build_dataset(cell_dir: str, nn_range: str = "2NN",
         edge_path = os.path.join(cell_dir, d, edge_name)
         if not os.path.isfile(cell_path):
             continue
-        struct = supercell_333(read_castep_cell(cell_path))
-        dist = distance_matrix(struct)
-        indices = shell_indices(dist, struct.exo_index, n_shells)
+        base = read_castep_cell(cell_path)
         spectrum = fitted_intensity(edge_path).astype(np.float32)
-        dataset.append(graph_from_structure(struct, indices, spectrum, d))
+        dataset.append(
+            build_graph(base, n_shells, spectrum, d, use_native=use_native)
+        )
     return dataset
