@@ -82,6 +82,11 @@ class Config:
 
     # --- TPU-native knobs (new; no reference equivalent) ---
     n_max: int = 16                 # padded node count per graph
+    neighbor_k: int = 0
+    # 0 = dense fully-connected graphs (reference topology); K > 0 = padded
+    # fixed-degree K-nearest-neighbour lists, the large-cell (1024+ atoms)
+    # topology where N^2 edges explode (SURVEY.md §7). kNN is recomputed
+    # from current positions each denoiser call.
     compute_dtype: str = "float32"  # "float32" | "bfloat16" for matmuls
     use_pallas: bool = False        # fused Pallas EGCL kernel vs XLA dense path
     compat_scalar_norm: bool = False

@@ -65,7 +65,9 @@ def sample(
     T = cfg.num_diffusion_timestep
     scale = cfg.onehot_scaling_factor
     mask = cond.mask
-    pair_mask = cond.pair_mask()
+    # dense pair mask only when the dense topology is in use — with kNN
+    # neighbour lists the [B, N, N] tensor would defeat the point at 1024+
+    pair_mask = None if cfg.neighbor_k else cond.pair_mask()
     b, n = mask.shape
     a_dim = cfg.atom_type_size
 
@@ -82,8 +84,14 @@ def sample(
 
     def denoise(pos, h, t_norm_scalar):
         t_norm = jnp.full((b, n, 1), t_norm_scalar, pos.dtype) * m3
+        if cfg.neighbor_k:
+            from diffusion_model_tpu.ops.edges import knn_edges
+
+            edges = knn_edges(pos, mask, cfg.neighbor_k)
+        else:
+            edges = pair_mask
         return denoise_fn(
-            scale * h, pos, cond.spectrum, cond.exo, t_norm, mask, pair_mask
+            scale * h, pos, cond.spectrum, cond.exo, t_norm, mask, edges
         )
 
     def step(carry, t):

@@ -28,7 +28,7 @@ class DiffusionDenoiser(nn.Module):
 
     @nn.compact
     def __call__(self, species_t, pos_t, spectrum, exo, t_norm, node_mask,
-                 pair_mask):
+                 edges):
         """Predict the joint noise.
 
         Args:
@@ -39,7 +39,8 @@ class DiffusionDenoiser(nn.Module):
           exo: ``[B, N, 1]`` excited-atom indicator.
           t_norm: ``[B, N, 1]`` diffusion time t/T.
           node_mask: ``[B, N]``.
-          pair_mask: ``[B, N, N]``.
+          edges: dense pair mask ``[B, N, N]`` or fixed-degree neighbour
+            tuple ``(idx, edge_mask)`` — see nn/egnn.py.
 
         Returns:
           (eps_x ``[B, N, 3]`` CoM-free masked, eps_h ``[B, N, A]`` masked).
@@ -75,7 +76,7 @@ class DiffusionDenoiser(nn.Module):
             compute_dtype=dt,
             zero_init_x=cfg.zero_init_x,
             name="egnn",
-        )(h_in, pos_t, pair_mask)
+        )(h_in, pos_t, edges)
 
         mask3 = node_mask[..., None].astype(pos_t.dtype)
         eps_x = remove_mean((x_out - pos_t) * mask3, node_mask)

@@ -41,6 +41,7 @@ for validation.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from diffusion_model_tpu.ops.angles import pairwise_sq_dist
@@ -59,26 +60,35 @@ class _EdgeFirstLayer(nn.Module):
     """
 
     features: int
+    hdim: int
     compute_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", _dense_init, (2 * self.hdim + 1, self.features)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+
+    def node_projections(self, h):
+        """(proj_i + bias ``[B,N,F]``, proj_j ``[B,N,F]``)."""
+        dt = self.compute_dtype
+        k = self.kernel.astype(dt)
+        h = h.astype(dt)
+        return h @ k[: self.hdim] + self.bias.astype(dt), \
+            h @ k[self.hdim : 2 * self.hdim]
+
+    def d2_row(self):
+        return self.kernel[2 * self.hdim].astype(self.compute_dtype)
+
     def __call__(self, h, d2):
         """h: [B,N,H]; d2: [B,N,N,1] -> [B,N,N,features] pre-activation."""
-        hdim = h.shape[-1]
-        kernel = self.param(
-            "kernel", _dense_init, (2 * hdim + 1, self.features)
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        dt = self.compute_dtype
-        k = kernel.astype(dt)
-        h = h.astype(dt)
-        proj_i = h @ k[:hdim]            # [B,N,F]
-        proj_j = h @ k[hdim : 2 * hdim]  # [B,N,F]
+        proj_i, proj_j = self.node_projections(h)
         return (
             proj_i[:, :, None, :]
             + proj_j[:, None, :, :]
-            + d2.astype(dt) * k[2 * hdim]
-            + bias.astype(dt)
+            + d2.astype(self.compute_dtype) * self.d2_row()
         )
 
 
@@ -123,32 +133,48 @@ class EGCL(nn.Module):
     # the standard diffusion-model fix and changes nothing once trained.
 
     @nn.compact
-    def __call__(self, h, x, pair_mask):
+    def __call__(self, h, x, edges):
         """Apply the layer.
 
         Args:
           h: ``[B, N, H]`` node features.
           x: ``[B, N, 3]`` coordinates.
-          pair_mask: ``[B, N, N]`` float mask (1 where edge i<-j is real).
+          edges: either a dense ``[B, N, N]`` pair mask (fully connected
+            graphs, the reference topology) or a tuple
+            ``(idx [B, N, K] int32, edge_mask [B, N, K])`` of fixed-degree
+            neighbour lists — the padded large-cell topology (SURVEY.md §7:
+            N^2 edges explode past ~1024 atoms).
 
         Returns:
           (h', x') with the same shapes; padded nodes pass through unchanged
           in ``x`` and produce zero-masked ``h`` updates.
         """
         dt = self.compute_dtype
-
-        m_first = _EdgeFirstLayer(self.m_hidden, dt, name="mlp_m_dense0")
+        hdim = h.shape[-1]
+        m_first = _EdgeFirstLayer(self.m_hidden, hdim, dt,
+                                  name="mlp_m_dense0")
         m_second = nn.Dense(self.m_out, dtype=dt, name="mlp_m_dense1")
         # Width-1 output heads (attention logit, coordinate scalar) as
         # explicit multiply-reduce on the VPU: a Dense to 1 output pads the
         # MXU tile 1 -> 128 lanes, wasting a 128x wider matmul.
         att = _VectorHead(name="attention_dense")
-        x_first = _EdgeFirstLayer(self.x_hidden, dt, name="mlp_x_dense0")
+        x_first = _EdgeFirstLayer(self.x_hidden, hdim, dt,
+                                  name="mlp_x_dense0")
         x_second = nn.Dense(self.x_hidden, dtype=dt, name="mlp_x_dense1")
         x_last = _VectorHead(zero_init=self.zero_init_x, name="mlp_x_dense2")
         h_dense0 = nn.Dense(self.h_hidden, dtype=dt, name="mlp_h_dense0")
         h_dense1 = nn.Dense(self.h_out, dtype=dt, name="mlp_h_dense1")
+        mods = (m_first, m_second, att, x_first, x_second, x_last,
+                h_dense0, h_dense1)
 
+        if isinstance(edges, tuple):
+            return self._sparse_call(mods, h, x, *edges)
+        return self._dense_call(mods, h, x, edges)
+
+    def _dense_call(self, mods, h, x, pair_mask):
+        (m_first, m_second, att, x_first, x_second, x_last,
+         h_dense0, h_dense1) = mods
+        dt = self.compute_dtype
         h_c = h.astype(dt)
         x_c = x.astype(dt)
         d2 = pairwise_sq_dist(x_c)[..., None]            # [B,N,N,1]
@@ -184,6 +210,52 @@ class EGCL(nn.Module):
 
         return h_new.astype(h.dtype), x_new.astype(x.dtype)
 
+    def _sparse_call(self, mods, h, x, idx, edge_mask):
+        """Fixed-degree neighbour-list message passing: identical math to
+        the dense path over the K gathered sources per node. The first-layer
+        node-projection trick applies unchanged — the j-projections are
+        computed per node then gathered per edge."""
+        (m_first, m_second, att, x_first, x_second, x_last,
+         h_dense0, h_dense1) = mods
+        if self.compat_scalar_norm:
+            raise NotImplementedError(
+                "compat_scalar_norm is a dense-path-only validation mode"
+            )
+        dt = self.compute_dtype
+        h_c = h.astype(dt)
+        x_c = x.astype(dt)
+
+        gather = jax.vmap(lambda arr, ind: arr[ind])   # [N,*] , [N,K] -> [N,K,*]
+        x_j = gather(x_c, idx)                          # [B,N,K,3]
+        diff = x_c[:, :, None, :] - x_j
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)  # [B,N,K,1]
+        em = edge_mask[..., None].astype(dt)
+
+        # first layers via node projections + gather (no [.,2H+1] matmuls)
+        pre_m_i, proj_m_j = m_first.node_projections(h_c)
+        pre_x_i, proj_x_j = x_first.node_projections(h_c)
+        pre_m = (
+            pre_m_i[:, :, None, :] + gather(proj_m_j, idx)
+            + d2.astype(dt) * m_first.d2_row()
+        )
+        pre_x = (
+            pre_x_i[:, :, None, :] + gather(proj_x_j, idx)
+            + d2.astype(dt) * x_first.d2_row()
+        )
+
+        m = nn.silu(m_second(nn.silu(pre_m)))
+        m = m * nn.sigmoid(att(m)) * em
+        m_sum = jnp.sum(m, axis=2)
+        h_new = h_dense1(
+            nn.silu(h_dense0(jnp.concatenate([h_c, m_sum], axis=-1)))
+        )
+
+        s = x_last(nn.silu(x_second(nn.silu(pre_x))))
+        norm = jnp.sqrt(jnp.where(em > 0, jnp.maximum(d2, 1e-12), 1.0))
+        upd = diff * s / (norm + 1.0) * em
+        x_new = x_c + jnp.sum(upd, axis=2)
+        return h_new.astype(h.dtype), x_new.astype(x.dtype)
+
 
 class EquivariantGNN(nn.Module):
     """Stack of L EGCLs (ref EquivariantGraphNeuralNetwork.py:73-88)."""
@@ -199,7 +271,7 @@ class EquivariantGNN(nn.Module):
     zero_init_x: bool = True
 
     @nn.compact
-    def __call__(self, h, x, pair_mask):
+    def __call__(self, h, x, edges):
         for l in range(self.L):
             h, x = EGCL(
                 m_hidden=self.m_hidden,
@@ -211,5 +283,5 @@ class EquivariantGNN(nn.Module):
                 compute_dtype=self.compute_dtype,
                 zero_init_x=self.zero_init_x,
                 name=f"egcl_{l}",
-            )(h, x, pair_mask)
+            )(h, x, edges)
         return h, x

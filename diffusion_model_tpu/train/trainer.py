@@ -33,6 +33,7 @@ from diffusion_model_tpu.diffusion.process import (
 )
 from diffusion_model_tpu.nn.denoiser import DiffusionDenoiser
 from diffusion_model_tpu.nn.gamma import GammaNetwork
+from diffusion_model_tpu.ops.edges import knn_edges
 from diffusion_model_tpu.train.loss import diffuse_batch, epsilon_loss
 
 
@@ -122,12 +123,16 @@ class Trainer:
         b, n = example.mask.shape
         a = self.cfg.atom_type_size
         k1, k2 = jax.random.split(key)
+        if self.cfg.neighbor_k:
+            edges = knn_edges(example.pos, example.mask, self.cfg.neighbor_k)
+        else:
+            edges = example.pair_mask()
         params = {
             "denoiser": self.model.init(
                 k1,
                 jnp.zeros((b, n, a)), example.pos, example.spectrum,
                 example.exo, jnp.zeros((b, n, 1)), example.mask,
-                example.pair_mask(),
+                edges,
             )
         }
         if self.gamma is not None:
@@ -162,9 +167,13 @@ class Trainer:
             / cfg.num_diffusion_timestep
         ) * jnp.ones((b, n, 1))
         t_norm = t_norm * batch.mask[..., None]
+        if cfg.neighbor_k:
+            edges = knn_edges(pos_t, batch.mask, cfg.neighbor_k)
+        else:
+            edges = batch.pair_mask()
         eps_x_pred, eps_h_pred = self.model.apply(
             params["denoiser"], h_t, pos_t, batch.spectrum, batch.exo,
-            t_norm, batch.mask, batch.pair_mask(),
+            t_norm, batch.mask, edges,
         )
         loss, sum_sq, num_nodes = epsilon_loss(
             eps_x_pred, eps_h_pred, eps_pos, eps_h, batch.mask,
