@@ -19,8 +19,11 @@ from diffusion_model_tpu.ops.rdf import rdf_from_exo
 def rdf_metrics(rdf_a: np.ndarray, rdf_b: np.ndarray) -> dict:
     a = np.asarray(rdf_a, np.float64)
     b = np.asarray(rdf_b, np.float64)
+    # guard the cosine for all-zero curves (structure with no atoms inside
+    # r_max of exO) — the reference's cos_similarity would return NaN there
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
     return {
-        "cos": float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))),
+        "cos": float(np.dot(a, b) / denom) if denom > 0 else 0.0,
         "euclidean": float(np.linalg.norm(a - b)),
         "mse": float(np.mean((a - b) ** 2)),
         "wasserstein": float(wasserstein_distance(a, b)),
