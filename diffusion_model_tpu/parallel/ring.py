@@ -1,0 +1,188 @@
+"""Ring-sharded dense message passing (the ring-attention analogue).
+
+For cells whose dense [N, N] pair tensor exceeds one chip, the node axis is
+sharded over the mesh and the *source* node block rotates around the ring
+with ``ppermute`` while each device accumulates partial message sums for its
+resident *target* block — the EGNN equivalent of ring attention
+(SURVEY.md §2.6: edge-block sharding with halo exchange over ICI).
+
+This is the explicit-collective counterpart of the GSPMD node-sharding
+layout in parallel/mesh.py: same math, but communication is hand-scheduled,
+so per-step peak memory is O(N * N/D) per device instead of relying on the
+compiler's choices.
+
+Functional (parameter pytree in, arrays out) like nn/fast_apply.py; shares
+DiffusionDenoiser's exact parameters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.ops.com import remove_mean
+
+
+def _dense(p, v, dt):
+    return v @ p["kernel"].astype(dt) + p["bias"].astype(dt)
+
+
+def _silu(v):
+    return v * jax.nn.sigmoid(v)
+
+
+def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim):
+    """One EGCL over ring-rotated source blocks.
+
+    Args (per device):
+      h_i, x_i, mask_i: resident target block ``[Nb, ...]``.
+      idx_i: ``[Nb]`` global node indices of the resident block.
+    """
+    m0k = lp["mlp_m_dense0"]["kernel"].astype(dt)
+    m0b = lp["mlp_m_dense0"]["bias"].astype(dt)
+    x0k = lp["mlp_x_dense0"]["kernel"].astype(dt)
+    x0b = lp["mlp_x_dense0"]["bias"].astype(dt)
+
+    h_c = h_i.astype(dt)
+    # target-side projections (bias folded into the i-part)
+    am_i = h_c @ m0k[:hdim] + m0b
+    ax_i = h_c @ x0k[:hdim] + x0b
+    # source-side projections for the resident block (they rotate)
+    bm = h_c @ m0k[hdim : 2 * hdim]
+    bx = h_c @ x0k[hdim : 2 * hdim]
+    w_dm = m0k[2 * hdim]
+    w_dx = x0k[2 * hdim]
+
+    ndev = jax.lax.psum(1, axis)
+    me = jax.lax.axis_index(axis)
+    perm = [(d, (d + 1) % ndev) for d in range(ndev)]
+
+    nb = h_i.shape[0]
+    # accumulators must be marked device-varying over the mesh axis so the
+    # scan carry type matches the ppermute-produced (varying) updates
+    m_sum0 = jax.lax.pcast(
+        jnp.zeros((nb, lp["mlp_m_dense1"]["kernel"].shape[1]), dt),
+        (axis,), to="varying",
+    )
+    upd0 = jax.lax.pcast(jnp.zeros((nb, 3), dt), (axis,), to="varying")
+
+    def step(carry, _):
+        bm_r, bx_r, x_r, mask_r, idx_r, m_sum, upd = carry
+        diff = x_i.astype(dt)[:, None, :] - x_r.astype(dt)[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+        pm = (
+            mask_i[:, None, None] * mask_r[None, :, None]
+            * (idx_i[:, None, None] != idx_r[None, :, None])
+        ).astype(dt)
+
+        pre_m = am_i[:, None, :] + bm_r[None, :, :] + d2.astype(dt) * w_dm
+        m = _silu(_dense(lp["mlp_m_dense1"], _silu(pre_m), dt))
+        att = jax.nn.sigmoid(
+            jnp.sum(m * lp["attention_dense"]["kernel"][:, 0].astype(dt),
+                    axis=-1, keepdims=True)
+            + lp["attention_dense"]["bias"].astype(dt)
+        )
+        m_sum = m_sum + jnp.sum(m * att * pm, axis=1)
+
+        pre_x = ax_i[:, None, :] + bx_r[None, :, :] + d2.astype(dt) * w_dx
+        u = _silu(_dense(lp["mlp_x_dense1"], _silu(pre_x), dt))
+        s = (
+            jnp.sum(u * lp["mlp_x_dense2"]["kernel"][:, 0].astype(dt),
+                    axis=-1, keepdims=True)
+            + lp["mlp_x_dense2"]["bias"].astype(dt)
+        )
+        norm = jnp.sqrt(jnp.where(pm > 0, jnp.maximum(d2, 1e-12), 1.0))
+        upd = upd + jnp.sum(diff * s / (norm + 1.0) * pm, axis=1)
+
+        # rotate the source block to the next device
+        rot = lambda v: jax.lax.ppermute(v, axis, perm)
+        return (rot(bm_r), rot(bx_r), rot(x_r), rot(mask_r), rot(idx_r),
+                m_sum, upd), None
+
+    carry = (bm, bx, x_i, mask_i, idx_i, m_sum0, upd0)
+    (bm_r, bx_r, x_r, mask_r, idx_r, m_sum, upd), _ = jax.lax.scan(
+        step, carry, None, length=ndev
+    )
+
+    h_new = _dense(
+        lp["mlp_h_dense1"],
+        _silu(_dense(lp["mlp_h_dense0"],
+                     jnp.concatenate([h_c, m_sum], axis=-1), dt)),
+        dt,
+    )
+    x_new = x_i.astype(dt) + upd
+    return h_new.astype(h_i.dtype), x_new.astype(x_i.dtype)
+
+
+def ring_denoise_fn(cfg: Config, denoiser_params, mesh: Mesh,
+                    axis: str = "data"):
+    """Ring-sharded functional denoiser over one large graph.
+
+    Returns ``fn(species_ch [N,A], pos [N,3], spectrum [N,S], exo [N,1],
+    t_norm [N,1], mask [N]) -> (eps_x, eps_h)`` with all node-axis inputs
+    sharded over ``axis``. N must be divisible by the mesh size.
+    """
+    p = denoiser_params["params"]
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    hdim = cfg.h_size
+    comp = p.get("spectrum_compressor")
+
+    def compressor(spectrum):
+        y = spectrum.astype(dt)
+        i = 0
+        while comp is not None and f"dense{i}" in comp:
+            y = jax.nn.relu(_dense(comp[f"dense{i}"], y, dt))
+            i += 1
+        return _dense(comp["dense_out"], y, dt)
+
+    ndev = mesh.devices.size
+
+    def local_fn(species_ch, pos, spectrum, exo, t_norm, mask, idx):
+        feats = [species_ch.astype(dt)]
+        if cfg.conditional:
+            if cfg.to_compress_spectrum:
+                feats.append(compressor(spectrum))
+            else:
+                feats.append(spectrum.astype(dt))
+        if cfg.give_exO:
+            feats.append(exo.astype(dt))
+        feats.append(t_norm.astype(dt))
+        h = jnp.concatenate(feats, axis=-1)
+
+        x = pos
+        for l in range(cfg.L):
+            h, x = _egcl_ring(
+                p["egnn"][f"egcl_{l}"], h, x, mask, idx,
+                n_total=None, axis=axis, dt=dt, hdim=hdim,
+            )
+
+        # CoM over the full (sharded) node set
+        m3 = mask[:, None].astype(pos.dtype)
+        delta = (x - pos) * m3
+        total = jax.lax.psum(jnp.sum(delta, axis=0), axis)
+        count = jax.lax.psum(jnp.sum(mask), axis)
+        eps_x = (delta - total / jnp.maximum(count, 1.0)) * m3
+        eps_h = h[:, : cfg.atom_type_size].astype(pos.dtype) * m3
+        return eps_x, eps_h
+
+    sharded = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+
+    def fn(species_ch, pos, spectrum, exo, t_norm, mask):
+        n = pos.shape[0]
+        if n % ndev != 0:
+            raise ValueError(f"N={n} not divisible by mesh size {ndev}")
+        idx = jnp.arange(n, dtype=jnp.int32)
+        return sharded(species_ch, pos, spectrum, exo, t_norm, mask, idx)
+
+    return fn
