@@ -21,6 +21,7 @@ IS alpha_t, and sigma_t = sqrt(1 - alpha_t^2)).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,6 +34,29 @@ def clip_noise_schedule(alphas2: jnp.ndarray, clip_value: float = 0.001) -> jnp.
     alphas_step = alphas2[1:] / alphas2[:-1]
     alphas_step = jnp.clip(alphas_step, clip_value, 1.0)
     return jnp.cumprod(alphas_step, axis=0)
+
+
+def beta_schedule(kind: str, initial_beta: float, final_beta: float,
+                  timesteps: int) -> jnp.ndarray:
+    """Legacy DDPM-style beta schedules over t = 0..T (length T+1).
+
+    Ref E3diffusion.py:15-20 ('sigmoid' and 'linear'; the duplicate numpy
+    variant lives at data_preparation.py:218-224). These back the
+    superseded beta-parameterised process the live joint model replaced
+    with the polynomial/learned alpha schedules.
+    """
+    if kind == "sigmoid":
+        base = jax.nn.sigmoid(jnp.linspace(-6.0, 6.0, timesteps + 1))
+        return base * (final_beta - initial_beta) + initial_beta
+    if kind == "linear":
+        return jnp.linspace(initial_beta, final_beta, timesteps + 1)
+    raise ValueError(f"unknown beta schedule {kind!r}")
+
+
+def ddpm_alpha_bar(betas: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative product alpha_bar_t = prod(1 - beta) (ref E3diffusion.py:
+    21-22)."""
+    return jnp.cumprod(1.0 - betas, axis=0)
 
 
 def polynomial_alpha_schedule(

@@ -108,3 +108,58 @@ class TestRunLogger:
         with open(os.path.join(run_dir, "metrics.jsonl")) as f:
             rec = json.loads(f.readline())
         assert rec["loss"] == 1.5
+
+
+class TestFramesAndLegacySchedules:
+    def test_center_of_mass(self):
+        from diffusion_model_tpu.data.frames import center_of_mass
+
+        pos = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+        com = center_of_mass(pos, ["O", "Si"])
+        # weighted toward Si (28.0855 vs 16)
+        assert com[0] == pytest.approx(28.0855 / 44.0855, rel=1e-6)
+
+    def test_align_exo_frame(self, rng):
+        from diffusion_model_tpu.data.frames import (
+            align_exo_frame,
+            center_of_mass,
+        )
+
+        pos = rng.normal(size=(5, 3))
+        symbols = ["O", "Si", "Si", "O", "O"]
+        out = align_exo_frame(pos, symbols)
+        com = center_of_mass(out, symbols)
+        v = out[0] - com
+        # exO - CoM now along +x
+        assert v[1] == pytest.approx(0.0, abs=1e-9)
+        assert v[2] == pytest.approx(0.0, abs=1e-9)
+        assert v[0] > 0
+        # rigid: pairwise distances preserved
+        d0 = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+        d1 = np.linalg.norm(out[:, None] - out[None], axis=-1)
+        np.testing.assert_allclose(d0, d1, rtol=1e-9, atol=1e-9)
+
+    def test_pad_and_flatten(self):
+        from diffusion_model_tpu.data.frames import pad_and_flatten
+
+        out = pad_and_flatten(np.ones((3, 3)))
+        assert out.shape == (15,)
+        assert out[:9].sum() == 9 and out[9:].sum() == 0
+
+    def test_beta_schedules(self):
+        from diffusion_model_tpu.ops.schedules import (
+            beta_schedule,
+            ddpm_alpha_bar,
+        )
+
+        b = np.asarray(beta_schedule("sigmoid", 1e-4, 0.02, 100))
+        assert b.shape == (101,)
+        assert b[0] == pytest.approx(1e-4 + (0.02 - 1e-4) / (1 + np.e**6),
+                                     rel=1e-4)
+        assert b[-1] < 0.02 + 1e-6 and np.all(np.diff(b) >= 0)
+        lin = np.asarray(beta_schedule("linear", 0.0, 1.0, 10))
+        np.testing.assert_allclose(lin, np.linspace(0, 1, 11), rtol=1e-6)
+        ab = np.asarray(ddpm_alpha_bar(jnp.asarray(lin)))
+        np.testing.assert_allclose(ab, np.cumprod(1 - lin), rtol=1e-5)
+        with pytest.raises(ValueError):
+            beta_schedule("cosine", 0, 1, 10)
