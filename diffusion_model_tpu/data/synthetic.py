@@ -113,6 +113,37 @@ def synthetic_sio2_dataset(seed: int, num_graphs: int, n_max: int,
     ]
 
 
+def synthetic_molecule_dataset(seed: int, num_graphs: int, n_max: int,
+                               atom_type_size: int = 5,
+                               spectrum_size: int = 200) -> list[dict]:
+    """Generic multi-species molecular clusters — the public smoke-test
+    analogue of the reference's QM9 path (ref main.py:43,90-95,145-152:
+    atom_type_size widens to 5 there). Random species one-hots over
+    ``atom_type_size`` classes, bond lengths keyed to the species index."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for g in range(num_graphs):
+        n = int(rng.integers(3, min(n_max, 9) + 1))
+        types = rng.integers(0, atom_type_size, n)
+        dirs = _random_unit_vectors(rng, n - 1, min_angle_deg=40.0)
+        pos = [np.zeros(3)]
+        for i in range(n - 1):
+            r = 1.0 + 0.15 * types[i + 1] + rng.normal(0, 0.03)
+            pos.append(dirs[i] * r)
+        pos = np.asarray(pos, np.float32)
+        species = np.eye(atom_type_size, dtype=np.float32)[types]
+        spectrum = np.zeros((n, spectrum_size), np.float32)
+        spectrum[0] = synthetic_spectrum(int(types.sum() % 3 + 2), rng,
+                                         spectrum_size)
+        exo = np.zeros((n, 1), np.float32)
+        exo[0, 0] = 1.0
+        out.append({
+            "pos": pos, "species": species, "spectrum": spectrum,
+            "exo": exo, "id": f"mol_{seed}_{g}",
+        })
+    return out
+
+
 def amorphous_cell(seed: int, num_atoms: int, density_si_ratio: float = 1 / 3,
                    spectrum_size: int = 200) -> dict:
     """A larger amorphous-like SiO2 cell for the big-graph benchmark path

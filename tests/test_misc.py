@@ -163,3 +163,37 @@ class TestFramesAndLegacySchedules:
         np.testing.assert_allclose(ab, np.cumprod(1 - lin), rtol=1e-5)
         with pytest.raises(ValueError):
             beta_schedule("cosine", 0, 1, 10)
+
+
+class TestMultiSpecies:
+    def test_qm9_style_training_and_sampling(self):
+        """atom_type_size=5 path (the reference's QM9 smoke test widens the
+        species one-hot to 5, ref main.py:90-95)."""
+        from diffusion_model_tpu.data.split import batch_iterator
+        from diffusion_model_tpu.data.synthetic import (
+            synthetic_molecule_dataset,
+        )
+        from diffusion_model_tpu.diffusion import predefined_schedule, sample
+        from diffusion_model_tpu.train import Trainer
+
+        cfg = Config(n_max=10, L=2, m_hidden_size=32, h_hidden_size=32,
+                     x_hidden_size=32, m_size=16, spectrum_size=16,
+                     compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+                     atom_type_size=5, num_diffusion_timestep=10,
+                     batch_size=4, optimizer="Adam", noise_precision=0.05)
+        assert cfg.h_size == 5 + 8 + 1 + 1
+        graphs = synthetic_molecule_dataset(0, 8, cfg.n_max,
+                                            atom_type_size=5,
+                                            spectrum_size=cfg.spectrum_size)
+        assert graphs[0]["species"].shape[1] == 5
+        trainer = Trainer(cfg)
+        batch = next(batch_iterator(graphs, cfg.batch_size, cfg.n_max))
+        state = trainer.init_state(jax.random.key(0), batch)
+        state, m = trainer.train_step(state, jax.random.key(1), batch)
+        assert np.isfinite(float(m["loss"]))
+        res = sample(trainer.denoise_fn(state.params),
+                     predefined_schedule(cfg), cfg, jax.random.key(2), batch)
+        assert res.species.shape[-1] == 5
+        sp = np.asarray(res.species)
+        mask = np.asarray(batch.mask)
+        assert np.all(sp[mask > 0].sum(-1) == 1)
