@@ -76,6 +76,13 @@ class Config:
     latent_dim: int = 32
 
     # --- sampling ---
+    sample_steps: int = 0
+    # 0 = full num_diffusion_timestep reverse steps (reference behaviour).
+    # K > 0 = strided ancestral sampling over K steps: the schedule table is
+    # subsampled on round(linspace(0, T, K+1)) and the same posterior math
+    # applies between consecutive entries (alpha_ts = alpha_t/alpha_s holds
+    # for any s < t); the time feature fed to the denoiser keeps the
+    # original t/T values so conditioning matches training.
     gen_num_per_spectrum: int = 5  # ref parts/train_per_iretation.py:264
     max_nan_retries: int = 10      # ref parts/train_per_iretation.py:379-389
     snapshot_every: int = 100      # ref parts/train_per_iretation.py:336-337

@@ -63,6 +63,15 @@ def sample(
       SampleResult.
     """
     T = cfg.num_diffusion_timestep
+    steps = cfg.sample_steps or T
+    if steps != T:
+        # strided ancestral sampling: subsample the schedule table; the
+        # reverse-step posterior math is exact between any two entries
+        idx = jnp.round(jnp.linspace(0.0, T, steps + 1)).astype(jnp.int32)
+        schedule = Schedule(alphas=schedule.alphas[idx])
+        t_norm_table = idx.astype(jnp.float32) / T
+    else:
+        t_norm_table = jnp.arange(T + 1, dtype=jnp.float32) / T
     scale = cfg.onehot_scaling_factor
     mask = cond.mask
     # dense pair mask only when the dense topology is in use — with kNN
@@ -97,7 +106,7 @@ def sample(
     def step(carry, t):
         pos, h, k = carry
         k, k1, k2 = jax.random.split(k, 3)
-        eps_x, eps_h = denoise(pos, h, t.astype(pos.dtype) / T)
+        eps_x, eps_h = denoise(pos, h, t_norm_table[t])
         new_pos = reverse_diffuse_one_step(
             schedule, k1, pos, eps_x, t, mode="pos", mask=mask
         )
@@ -112,7 +121,7 @@ def sample(
         out = (new_pos, new_h) if return_trajectory else None
         return (new_pos, new_h, k), out
 
-    ts = jnp.arange(T, 0, -1)
+    ts = jnp.arange(steps, 0, -1)
     (pos, h, key), traj = jax.lax.scan(step, (pos0, h0, key), ts)
 
     # Explicit t=0 denoise (ref :391-426).

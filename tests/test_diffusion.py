@@ -202,3 +202,41 @@ class TestSampler:
         res = sample_with_retry(fn, s, cfg, jax.random.key(2), tiled)
         assert res.pos.shape[0] == 6
         assert bool(jnp.all(res.finite))
+
+
+class TestStridedSampler:
+    def test_full_steps_unchanged(self):
+        cfg = small_cfg(noise_precision=0.05)
+        cond = make_cond(cfg, b=2, n_real=4)
+        model = DiffusionDenoiser(cfg)
+        b, n = cond.mask.shape
+        params = model.init(
+            jax.random.key(0),
+            jnp.zeros((b, n, cfg.atom_type_size)), cond.pos, cond.spectrum,
+            cond.exo, jnp.zeros((b, n, 1)), cond.mask, cond.pair_mask(),
+        )
+        fn = lambda *a: model.apply(params, *a)
+        s = predefined_schedule(cfg)
+        r_full = sample(fn, s, cfg, jax.random.key(7), cond)
+        r_same = sample(fn, s, cfg.replace(
+            sample_steps=cfg.num_diffusion_timestep
+        ), jax.random.key(7), cond)
+        np.testing.assert_array_equal(np.asarray(r_full.pos),
+                                      np.asarray(r_same.pos))
+
+    def test_strided_runs_finite(self):
+        cfg = small_cfg(noise_precision=0.05, num_diffusion_timestep=20,
+                        sample_steps=5)
+        cond = make_cond(cfg, b=2, n_real=4)
+        model = DiffusionDenoiser(cfg)
+        b, n = cond.mask.shape
+        params = model.init(
+            jax.random.key(0),
+            jnp.zeros((b, n, cfg.atom_type_size)), cond.pos, cond.spectrum,
+            cond.exo, jnp.zeros((b, n, 1)), cond.mask, cond.pair_mask(),
+        )
+        fn = lambda *a: model.apply(params, *a)
+        s = predefined_schedule(cfg)
+        res = sample(fn, s, cfg, jax.random.key(8), cond)
+        assert bool(jnp.all(res.finite))
+        assert res.pos.shape == (2, cfg.n_max, 3)
