@@ -58,9 +58,10 @@ def fit_n_max(graphs: list, multiple: int = 8) -> int:
 
 def train(cfg: Config, dataset: list, run_dir: str,
           logger: Optional[RunLogger] = None,
-          num_epochs: Optional[int] = None):
+          num_epochs: Optional[int] = None, mesh=None):
     """Training loop with eval, early stopping and checkpoints
-    (ref main.py:204-228)."""
+    (ref main.py:204-228). With ``mesh`` (or ``cfg.mesh_shape`` set),
+    batches are data-parallel sharded and the state replicated."""
     logger = logger or RunLogger(run_dir, cfg)
     dataset = prepare_dataset(dataset, cfg)
     train_set, val_set, test_set = split_dataset(dataset, cfg.seed)
@@ -69,6 +70,14 @@ def train(cfg: Config, dataset: list, run_dir: str,
     key = jax.random.key(cfg.seed)
     key, init_key = jax.random.split(key)
     state = trainer.init_state(init_key, example)
+    if mesh is None and len(cfg.mesh_shape) > 0:
+        from diffusion_model_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    if mesh is not None:
+        from diffusion_model_tpu.parallel import replicate
+
+        state = jax.device_put(state, replicate(mesh))
     stopper = EarlyStopping(patience=cfg.patience)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
 
@@ -78,9 +87,10 @@ def train(cfg: Config, dataset: list, run_dir: str,
         batches = batch_iterator(
             train_set, cfg.batch_size, cfg.n_max, seed=cfg.seed + epoch
         )
-        state, train_loss = trainer.train_epoch(state, k_tr, batches)
+        state, train_loss = trainer.train_epoch(state, k_tr, batches,
+                                                mesh=mesh)
         val_batches = batch_iterator(val_set, cfg.batch_size, cfg.n_max)
-        eval_loss = trainer.eval_epoch(state, k_ev, val_batches)
+        eval_loss = trainer.eval_epoch(state, k_ev, val_batches, mesh=mesh)
         logger.log(
             {"train_loss": train_loss, "eval_loss": eval_loss}, step=epoch
         )

@@ -245,21 +245,31 @@ class Trainer:
         return self._eval_step(state.eval_params(self.cfg), key, batch)
 
     # -- epoch loops (host-side, mirror main.py:206-216) ---------------
-    def train_epoch(self, state, key, batches) -> tuple:
+    def _place(self, batch, mesh):
+        if mesh is None:
+            return batch
+        from diffusion_model_tpu.parallel import shard_graph_batch
+
+        return shard_graph_batch(batch, mesh, mode="dp")
+
+    def train_epoch(self, state, key, batches, mesh=None) -> tuple:
+        """One pass over ``batches``; with ``mesh`` the graph-batch axis is
+        sharded over the ``data`` axis (params replicated by the caller or
+        on first step by GSPMD)."""
         total_sq, total_nodes = 0.0, 0.0
         for i, batch in enumerate(batches):
             key, sub = jax.random.split(key)
-            state, m = self.train_step(state, sub, batch)
+            state, m = self.train_step(state, sub, self._place(batch, mesh))
             total_sq += float(m["sum_sq"])
             total_nodes += float(m["num_nodes"])
         return state, total_sq / max(total_nodes, 1.0)
 
-    def eval_epoch(self, state, key, batches) -> float:
+    def eval_epoch(self, state, key, batches, mesh=None) -> float:
         total_sq, total_nodes = 0.0, 0.0
         params = state.eval_params(self.cfg)
         for batch in batches:
             key, sub = jax.random.split(key)
-            m = self._eval_step(params, sub, batch)
+            m = self._eval_step(params, sub, self._place(batch, mesh))
             total_sq += float(m["sum_sq"])
             total_nodes += float(m["num_nodes"])
         return total_sq / max(total_nodes, 1.0)

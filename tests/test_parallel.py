@@ -123,3 +123,23 @@ class TestShardedSampling:
         r2 = sample(fn, s, cfg, jax.random.key(2), cond_sharded)
         np.testing.assert_allclose(np.asarray(r1.pos), np.asarray(r2.pos),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestApiMeshTraining:
+    def test_train_over_mesh(self, mesh, tmp_path):
+        from diffusion_model_tpu import api
+
+        cfg = tiny_cfg(mesh_shape=(8,))
+        data = synthetic_sio2_dataset(9, 40, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        trainer, state, splits = api.train(
+            cfg, data, str(tmp_path / "run"), num_epochs=2
+        )
+        # replicated state, finite loss logged
+        import json, os
+
+        with open(os.path.join(tmp_path, "run", "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        losses = [r for r in recs if "train_loss" in r]
+        assert len(losses) == 2
+        assert all(np.isfinite(r["train_loss"]) for r in losses)
