@@ -1,0 +1,81 @@
+"""High-level api facade tests (train -> generate -> evaluate on CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from diffusion_model_tpu import api
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory):
+    cfg = Config(
+        n_max=8, L=2, m_hidden_size=32, h_hidden_size=32, x_hidden_size=32,
+        m_size=16, spectrum_size=24, compressed_spectrum_size=8,
+        compressor_hidden_dim=(8,), num_diffusion_timestep=25,
+        batch_size=8, lr=1e-3, optimizer="Adam", num_epochs=30,
+        noise_precision=0.05, gen_num_per_spectrum=2,
+    )
+    run_dir = str(tmp_path_factory.mktemp("api_run"))
+    graphs = synthetic_sio2_dataset(2, 40, cfg.n_max,
+                                    spectrum_size=cfg.spectrum_size)
+    trainer, state, splits = api.train(cfg, graphs, run_dir)
+    return cfg, run_dir, trainer, state, splits
+
+
+class TestApi:
+    def test_train_artifacts(self, run):
+        cfg, run_dir, trainer, state, splits = run
+        assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        losses = [r["train_loss"] for r in recs if "train_loss" in r]
+        assert len(losses) == cfg.num_epochs
+        assert losses[-1] < losses[0]
+
+    def test_generate_grouping(self, run):
+        cfg, run_dir, trainer, state, (tr, va, te) = run
+        results = api.generate(cfg, trainer, state, te, batch_size=4)
+        g = cfg.gen_num_per_spectrum
+        assert len(results["ids"]) == len(te) * g
+        # condition i repeated g times contiguously
+        assert results["ids"][0] == results["ids"][g - 1]
+        assert results["original_pos"].shape[0] == len(te) * g
+        np.testing.assert_allclose(results["original_pos"][0],
+                                   results["original_pos"][g - 1])
+
+    def test_evaluate_and_resume(self, run):
+        cfg, run_dir, trainer, state, (tr, va, te) = run
+        results = api.generate(cfg, trainer, state, te, batch_size=4)
+        summary = api.evaluate(results, run_dir, create_xyz=True)
+        assert summary["num_accepted"] >= 0
+        if summary["num_accepted"]:
+            assert np.isfinite(summary["sorted_rmsd"][0][1])
+            assert os.path.isfile(os.path.join(run_dir, "first_min_rmsd.xyz"))
+
+        # resume from checkpoint: same eval params -> same denoise output
+        from diffusion_model_tpu.data.batch import collate
+
+        example = collate(te[:1], cfg.n_max)
+        trainer2, state2 = api.load_trained(run_dir, cfg, example)
+        import jax
+
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_record_schedule(self, run):
+        cfg, run_dir, trainer, state, _ = run
+        paths = api.record_schedule(cfg, trainer, state, run_dir)
+        assert set(paths) == {"alpha", "sigma", "SNR"}
+        assert all(os.path.isfile(p) for p in paths.values())
+
+    def test_fit_n_max(self):
+        graphs = synthetic_sio2_dataset(0, 5, 12, spectrum_size=8, shells=2)
+        n = api.fit_n_max(graphs)
+        assert n % 8 == 0
+        assert n >= max(g["pos"].shape[0] for g in graphs)
