@@ -47,6 +47,11 @@ def main():
     from diffusion_model_tpu.ops.angles import cn2_angle_deg
     from diffusion_model_tpu.utils.logging import RunLogger
 
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
     cfg = Config(
         n_max=8,
         batch_size=args.batch_size,
@@ -75,6 +80,16 @@ def main():
     print(f"generated {len(results['ids'])} structures in {gen_s:.0f}s "
           f"(finite fraction {finite:.3f})", flush=True)
 
+    np.savez_compressed(
+        os.path.join(args.out_dir, "generated.npz"),
+        **{k: v for k, v in results.items() if k != "ids"},
+        ids=np.asarray(results["ids"]),
+    )
+    logger.register_artifact(
+        "generated_graph_save_path",
+        os.path.join(args.out_dir, "generated.npz"),
+    )
+
     summary = api.evaluate(results, args.out_dir, logger, create_xyz=True)
 
     keep = np.nonzero(results["accepted"])[0]
@@ -84,11 +99,37 @@ def main():
     )
     rdf_cos = np.asarray([r["cos"] for r in rdf_rows])
 
-    # angle parity over accepted CN2+ structures (first three atoms)
-    ang_o = np.asarray(cn2_angle_deg(results["original_pos"][keep][:, :3]))
-    ang_g = np.asarray(cn2_angle_deg(results["generated_pos"][keep][:, :3]))
-    ok = np.isfinite(ang_o) & np.isfinite(ang_g)
-    angle_r2 = r2score(ang_o[ok], ang_g[ok]) if ok.sum() > 2 else None
+    # Angle parity the reference's way (ref CN2_evaluate.py:176-286):
+    # restrict to CN2 conditions (exactly 3 atoms), per-sample angle at the
+    # exO between the two Si, averaged over gen_num samples per condition.
+    g = cfg.gen_num_per_spectrum
+    n_real = results["mask"].sum(-1)
+    cn2_rows = np.nonzero((n_real == 3) & results["accepted"])[0]
+    angle_r2 = None
+    angle_mae = None
+    if len(cn2_rows) >= 2 * g:
+        ang_o_all = np.full(len(results["ids"]), np.nan)
+        ang_g_all = np.full(len(results["ids"]), np.nan)
+        ang_o_all[cn2_rows] = np.asarray(
+            cn2_angle_deg(results["original_pos"][cn2_rows][:, :3])
+        )
+        ang_g_all[cn2_rows] = np.asarray(
+            cn2_angle_deg(results["generated_pos"][cn2_rows][:, :3])
+        )
+        avg_o = per_graph_group_means(ang_o_all, g)
+        avg_g = per_graph_group_means(ang_g_all, g)
+        n = min(len(avg_o), len(avg_g))
+        if n >= 3:
+            angle_r2 = r2score(avg_o[:n], avg_g[:n])
+            angle_mae = float(np.mean(np.abs(avg_o[:n] - avg_g[:n])))
+            fig, ax = plt.subplots(figsize=(6, 6))
+            ax.plot([0, 180], [0, 180], "-", color="red", alpha=0.5)
+            ax.plot(avg_o[:n], avg_g[:n], "o", alpha=0.6)
+            ax.set_xlabel("original Si-exO-Si angle [deg]")
+            ax.set_ylabel("generated Si-exO-Si angle [deg]")
+            ax.set_title(f"CN2 angle parity (R^2 = {angle_r2:.3f})")
+            logger.log_figure("cn2_angle_parity", fig)
+            plt.close(fig)
 
     out = {
         "train_seconds": round(train_s, 1),
@@ -98,7 +139,8 @@ def main():
         "num_accepted": int(summary["num_accepted"]),
         "rdf_cos_mean": float(rdf_cos.mean()),
         "rdf_cos_median": float(np.median(rdf_cos)),
-        "angle_r2": angle_r2,
+        "cn2_angle_r2": angle_r2,
+        "cn2_angle_mae_deg": angle_mae,
         "rmsd_best": float(summary["sorted_rmsd"][0][1]),
         "rmsd_median": float(
             summary["sorted_rmsd"][len(summary["sorted_rmsd"]) // 2][1]
