@@ -58,10 +58,13 @@ def fit_n_max(graphs: list, multiple: int = 8) -> int:
 
 def train(cfg: Config, dataset: list, run_dir: str,
           logger: Optional[RunLogger] = None,
-          num_epochs: Optional[int] = None, mesh=None):
+          num_epochs: Optional[int] = None, mesh=None,
+          resume: bool = False):
     """Training loop with eval, early stopping and checkpoints
     (ref main.py:204-228). With ``mesh`` (or ``cfg.mesh_shape`` set),
-    batches are data-parallel sharded and the state replicated."""
+    batches are data-parallel sharded and the state replicated. With
+    ``resume=True`` training continues from the latest checkpoint's epoch
+    (true mid-training resume; the reference has none, SURVEY.md §5)."""
     logger = logger or RunLogger(run_dir, cfg)
     dataset = prepare_dataset(dataset, cfg)
     train_set, val_set, test_set = split_dataset(dataset, cfg.seed)
@@ -70,6 +73,15 @@ def train(cfg: Config, dataset: list, run_dir: str,
     key = jax.random.key(cfg.seed)
     key, init_key = jax.random.split(key)
     state = trainer.init_state(init_key, example)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+
+    start_epoch = 0
+    if resume:
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            state, _ = restore_checkpoint(ckpt_dir, state, step=step)
+            start_epoch = step
+
     if mesh is None and len(cfg.mesh_shape) > 0:
         from diffusion_model_tpu.parallel import make_mesh
 
@@ -79,10 +91,10 @@ def train(cfg: Config, dataset: list, run_dir: str,
 
         state = jax.device_put(state, replicate(mesh))
     stopper = EarlyStopping(patience=cfg.patience)
-    ckpt_dir = os.path.join(run_dir, "checkpoints")
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
-    for epoch in range(epochs):
+    epoch = start_epoch
+    for epoch in range(start_epoch, epochs):
         key, k_tr, k_ev = jax.random.split(key, 3)
         batches = batch_iterator(
             train_set, cfg.batch_size, cfg.n_max, seed=cfg.seed + epoch
@@ -94,10 +106,12 @@ def train(cfg: Config, dataset: list, run_dir: str,
         logger.log(
             {"train_loss": train_loss, "eval_loss": eval_loss}, step=epoch
         )
+        if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+            save_checkpoint(ckpt_dir, state, cfg, step=epoch + 1)
         if stopper.validate(eval_loss):
             break
 
-    save_checkpoint(ckpt_dir, state, cfg, step=int(state.step))
+    save_checkpoint(ckpt_dir, state, cfg, step=epoch + 1)
     logger.register_artifact("checkpoints", ckpt_dir)
     return trainer, state, (train_set, val_set, test_set)
 

@@ -58,6 +58,10 @@ class Config:
     num_epochs: int = 3000
     patience: int = 5000
     seed: int = 2024
+    checkpoint_every: int = 0
+    # save a full checkpoint (params + optimizer state + epoch) every N
+    # epochs for preemption-safe resume; 0 = only at the end. The reference
+    # has no mid-training resume at all (SURVEY.md §5).
 
     # --- model variants ---
     diffuse_species: bool = True

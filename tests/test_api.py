@@ -79,3 +79,31 @@ class TestApi:
         n = api.fit_n_max(graphs)
         assert n % 8 == 0
         assert n >= max(g["pos"].shape[0] for g in graphs)
+
+
+class TestResume:
+    def test_mid_training_resume(self, tmp_path):
+        """Interrupt at epoch 6, resume to 12; metrics show both phases."""
+        cfg = Config(
+            n_max=8, L=1, m_hidden_size=16, h_hidden_size=16,
+            x_hidden_size=16, m_size=8, spectrum_size=16,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            num_diffusion_timestep=10, batch_size=8, lr=1e-3,
+            optimizer="Adam", checkpoint_every=3,
+        )
+        run_dir = str(tmp_path / "resume_run")
+        graphs = synthetic_sio2_dataset(4, 24, cfg.n_max,
+                                        spectrum_size=cfg.spectrum_size)
+        trainer, state6, _ = api.train(cfg, graphs, run_dir, num_epochs=6)
+        assert int(state6.step) > 0
+        trainer, state12, _ = api.train(cfg, graphs, run_dir,
+                                        num_epochs=12, resume=True)
+        # resumed training advanced the optimizer step counter beyond the
+        # first phase's
+        assert int(state12.step) > int(state6.step)
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            steps = [json.loads(l).get("step") for l in f
+                     if "train_loss" in l]
+        assert max(steps) == 11
+        # resume started at epoch 6, not 0
+        assert steps.count(0) == 1
