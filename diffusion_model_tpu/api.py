@@ -139,7 +139,12 @@ def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
     g = gen_num_per_spectrum or cfg.gen_num_per_spectrum
     key = key if key is not None else jax.random.key(cfg.seed)
     params = state.eval_params(cfg)
-    denoise_fn = trainer.denoise_fn(params)
+    if cfg.use_pallas and not cfg.neighbor_k:
+        from diffusion_model_tpu.nn.fast_apply import fast_denoise_fn
+
+        denoise_fn = fast_denoise_fn(cfg, params["denoiser"])
+    else:
+        denoise_fn = trainer.denoise_fn(params)
     schedule = trainer.schedule_for(params)
     jitted = jax.jit(
         partial(sample, denoise_fn, schedule, cfg,

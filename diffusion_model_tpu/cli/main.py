@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "generate_only", "evaluate_only"])
     p.add_argument("--num_epochs", type=int, default=None,
                    help="override config num_epochs")
+    p.add_argument("--resume", action="store_true",
+                   help="continue training from the latest checkpoint")
     p.add_argument("--record_schedule", action="store_true")
     p.add_argument("--create_xyz_file", action="store_true")
     p.add_argument("--note", type=str, default=None)
@@ -93,7 +95,8 @@ def main(argv=None):
     results = None
     if "train" in args.mode:
         trainer, state, (train_set, val_set, test_set) = api.train(
-            cfg, graphs, args.run_dir, logger, num_epochs=args.num_epochs
+            cfg, graphs, args.run_dir, logger, num_epochs=args.num_epochs,
+            resume=args.resume,
         )
         print(f"model checkpoints saved under {args.run_dir}/checkpoints")
     else:

@@ -46,6 +46,9 @@ def fast_denoise_fn(cfg: Config, denoiser_params,
     p = denoiser_params["params"]
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size
+    # Mosaic kernels need TPU hardware; on CPU fall back to the
+    # interpreter automatically (slow, for tests/debug only).
+    interpret = interpret or jax.default_backend() == "cpu"
 
     layers = []
     for l in range(cfg.L):

@@ -65,3 +65,30 @@ class TestPallasEGCL:
         mask = np.asarray(args[5])
         np.testing.assert_allclose(np.asarray(eps_x)[mask == 0], 0.0)
         np.testing.assert_allclose(np.asarray(eps_h)[mask == 0], 0.0)
+
+
+class TestPallasSamplerIntegration:
+    def test_api_generate_use_pallas(self, tmp_path):
+        """cfg.use_pallas routes api.generate through the fused kernel
+        (interpreter on CPU)."""
+        from diffusion_model_tpu import api
+        from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+
+        cfg = Config(
+            n_max=8, L=1, m_hidden_size=16, h_hidden_size=16,
+            x_hidden_size=16, m_size=8, spectrum_size=16,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            num_diffusion_timestep=4, batch_size=8, optimizer="Adam",
+            noise_precision=0.05, gen_num_per_spectrum=1,
+        )
+        graphs = synthetic_sio2_dataset(1, 16, cfg.n_max,
+                                        spectrum_size=cfg.spectrum_size)
+        trainer, state, (tr, va, te) = api.train(
+            cfg, graphs, str(tmp_path / "r"), num_epochs=1
+        )
+        res_xla = api.generate(cfg, trainer, state, te)
+        res_pallas = api.generate(cfg.replace(use_pallas=True), trainer,
+                                  state, te)
+        np.testing.assert_allclose(res_xla["generated_pos"],
+                                   res_pallas["generated_pos"],
+                                   rtol=1e-4, atol=1e-5)
