@@ -39,12 +39,16 @@ def _random_unit_vectors(rng: np.random.Generator, n: int,
 
 
 def synthetic_spectrum(cn: int, rng: np.random.Generator,
-                       size: int = 200) -> np.ndarray:
-    """ELNES-like curve on the reference's -1..19 eV grid, CN-dependent.
+                       size: int = 200,
+                       mean_angle_deg: float | None = None) -> np.ndarray:
+    """ELNES-like curve on the reference's -1..19 eV grid.
 
     Two Gaussian peaks whose centres/amplitudes shift with coordination
-    number, min-max normalised like ``fitted_intensity``
-    (ref data_preparation.py:186-200).
+    number, plus (when ``mean_angle_deg`` is given) a third peak whose
+    centre tracks the mean bond angle — so the conditioning genuinely
+    determines the local geometry and conditional parity metrics (CN2
+    angle R^2) are information-theoretically achievable. Min-max normalised
+    like ``fitted_intensity`` (ref data_preparation.py:186-200).
     """
     ev = np.linspace(-1.0, 19.0, size)
     c1 = 5.0 + 1.2 * cn + rng.normal(0, 0.15)
@@ -56,6 +60,9 @@ def synthetic_spectrum(cn: int, rng: np.random.Generator,
         np.exp(-0.5 * ((ev - c1) / w1) ** 2)
         + a2 * np.exp(-0.5 * ((ev - c2) / w2) ** 2)
     )
+    if mean_angle_deg is not None:
+        c3 = -0.5 + 4.0 * (mean_angle_deg / 180.0) + rng.normal(0, 0.05)
+        y += 0.7 * np.exp(-0.5 * ((ev - c3) / 0.6) ** 2)
     y += rng.normal(0, 0.01, size)
     y -= y.min()
     y /= max(y.max(), 1e-9)
@@ -68,6 +75,15 @@ def make_graph(rng: np.random.Generator, n_max: int, spectrum_size: int = 200,
     if cn is None:
         cn = int(rng.integers(2, 5))  # CN in {2,3,4}
     dirs = _random_unit_vectors(rng, cn)
+    # mean pairwise angle between neighbour directions — encoded in the
+    # spectrum so conditioning determines geometry
+    angles = []
+    for i in range(cn):
+        for j in range(i + 1, cn):
+            angles.append(np.degrees(np.arccos(
+                np.clip(np.dot(dirs[i], dirs[j]), -1.0, 1.0)
+            )))
+    mean_angle = float(np.mean(angles)) if angles else 180.0
     pos = [np.zeros(3)]
     species = [[1.0, 0.0]]  # exO is oxygen
     for d in dirs:
@@ -90,7 +106,8 @@ def make_graph(rng: np.random.Generator, n_max: int, spectrum_size: int = 200,
     species = np.asarray(species, np.float32)
     n = pos.shape[0]
     spectrum = np.zeros((n, spectrum_size), np.float32)
-    spectrum[0] = synthetic_spectrum(cn, rng, spectrum_size)
+    spectrum[0] = synthetic_spectrum(cn, rng, spectrum_size,
+                                     mean_angle_deg=mean_angle)
     exo = np.zeros((n, 1), np.float32)
     exo[0, 0] = 1.0
     return {
@@ -99,6 +116,7 @@ def make_graph(rng: np.random.Generator, n_max: int, spectrum_size: int = 200,
         "spectrum": spectrum,
         "exo": exo,
         "cn": cn,
+        "mean_angle_deg": mean_angle,
         "id": f"synthetic_{rng.integers(1 << 30)}",
     }
 
