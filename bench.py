@@ -43,17 +43,20 @@ def main():
     fn = lambda *a: model.apply(params, *a)
     schedule = predefined_schedule(cfg)
 
-    run = jax.jit(lambda key: sample(fn, schedule, cfg, key, cond))
+    def timed(cfg_v):
+        run = jax.jit(lambda key: sample(fn, schedule, cfg_v, key, cond))
+        jax.block_until_ready(run(jax.random.key(1)))  # compile + warm-up
+        times = []
+        for i in range(3):
+            t_start = time.perf_counter()
+            jax.block_until_ready(run(jax.random.key(2 + i)))
+            times.append(time.perf_counter() - t_start)
+        return min(times)
 
-    # compile + warm-up
-    jax.block_until_ready(run(jax.random.key(1)))
-
-    times = []
-    for i in range(3):
-        t_start = time.perf_counter()
-        jax.block_until_ready(run(jax.random.key(2 + i)))
-        times.append(time.perf_counter() - t_start)
-    best = min(times)
+    best = timed(cfg)
+    # fast mode: 250-step strided sampler (RDF parity within noise of the
+    # full 1000-step chain — docs/quality/strided_eval.json)
+    strided = timed(cfg.replace(sample_steps=250))
 
     rate = n_atoms * steps / best  # atoms * denoise-steps per second
     baseline_rate = n_atoms * steps / 2.0  # driver target: <2 s
@@ -63,6 +66,9 @@ def main():
         "unit": "atoms*steps/s",
         "vs_baseline": round(rate / baseline_rate, 3),
         "seconds_per_structure": round(best, 3),
+        "structures_per_hour": round(3600.0 / best, 1),
+        "strided_250_seconds_per_structure": round(strided, 3),
+        "strided_250_structures_per_hour": round(3600.0 / strided, 1),
     }))
 
 
