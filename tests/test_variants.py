@@ -124,3 +124,29 @@ class TestProfiling:
         rep = t.report()
         assert rep["a"]["count"] == 2
         assert rep["a"]["total_s"] >= 0
+
+
+class TestUnconditional:
+    def test_unconditional_training_and_sampling(self):
+        """conditional=False drops the spectrum features entirely
+        (ref main.py:107-108: h_size = atom_type + t)."""
+        import jax.numpy as jnp
+        from diffusion_model_tpu.diffusion import predefined_schedule, sample
+
+        cfg = tiny_cfg(conditional=False, give_exO=False)
+        assert cfg.h_size == cfg.atom_type_size + 1
+        trainer = Trainer(cfg)
+        graphs, batch = (
+            synthetic_sio2_dataset(0, 8, cfg.n_max,
+                                   spectrum_size=cfg.spectrum_size),
+            None,
+        )
+        from diffusion_model_tpu.data.split import batch_iterator
+
+        batch = next(batch_iterator(graphs, cfg.batch_size, cfg.n_max))
+        state = trainer.init_state(jax.random.key(0), batch)
+        state, m = trainer.train_step(state, jax.random.key(1), batch)
+        assert np.isfinite(float(m["loss"]))
+        res = sample(trainer.denoise_fn(state.params),
+                     predefined_schedule(cfg), cfg, jax.random.key(2), batch)
+        assert bool(jnp.all(res.finite))
