@@ -1,0 +1,94 @@
+"""CLI driver smoke tests (micro configs, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from diffusion_model_tpu.cli import main as cli_main
+from diffusion_model_tpu.data.io import save_dataset
+from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+
+MICRO_CFG = dict(
+    L=1, m_hidden_size=16, h_hidden_size=16, x_hidden_size=16, m_size=8,
+    spectrum_size=16, compressed_spectrum_size=8, compressor_hidden_dim=[8],
+    num_diffusion_timestep=4, batch_size=8, lr=1e-3, optimizer="Adam",
+    noise_precision=0.05, gen_num_per_spectrum=1, num_epochs=2,
+)
+
+
+@pytest.fixture
+def micro_yaml(tmp_path):
+    p = tmp_path / "micro.yaml"
+    p.write_text(yaml.safe_dump(MICRO_CFG))
+    return str(p)
+
+
+class TestMainCLI:
+    def test_train_and_generate_then_evaluate_only(self, tmp_path,
+                                                   micro_yaml):
+        run_dir = str(tmp_path / "run")
+        cli_main.main([
+            "--mode", "train_and_generate", "--run_dir", run_dir,
+            "--config", micro_yaml, "--synthetic", "24",
+            "--create_xyz_file",
+        ])
+        assert os.path.isfile(os.path.join(run_dir, "generated.npz"))
+        assert os.path.isfile(os.path.join(run_dir, "config.json"))
+        with open(os.path.join(run_dir, "artifacts.json")) as f:
+            arts = json.load(f)
+        assert "generated_graph_save_path" in arts
+
+        # evaluate_only resumes from run-dir state
+        cli_main.main([
+            "--mode", "evaluate_only", "--run_dir", run_dir,
+            "--synthetic", "24",
+        ])
+
+    def test_dataset_npz_path(self, tmp_path, micro_yaml):
+        ds = synthetic_sio2_dataset(0, 16, 8, spectrum_size=16)
+        ds_path = str(tmp_path / "ds.npz")
+        save_dataset(ds, ds_path)
+        run_dir = str(tmp_path / "run2")
+        cli_main.main([
+            "--mode", "train_only", "--run_dir", run_dir,
+            "--config", micro_yaml, "--dataset_path", ds_path,
+            "--num_epochs", "1",
+        ])
+        assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+
+    def test_missing_data_exits(self, tmp_path, micro_yaml):
+        with pytest.raises(SystemExit):
+            cli_main.main([
+                "--mode", "train_only", "--run_dir", str(tmp_path / "x"),
+                "--config", micro_yaml,
+            ])
+
+
+class TestGenerateAmorphousCLI:
+    def test_runs_on_trained_dir(self, tmp_path, micro_yaml):
+        from diffusion_model_tpu.cli import generate_amorphous
+
+        run_dir = str(tmp_path / "run3")
+        cli_main.main([
+            "--mode", "train_only", "--run_dir", run_dir,
+            "--config", micro_yaml, "--synthetic", "24",
+        ])
+        generate_amorphous.main([
+            "--run_dir", run_dir, "--synthetic", "8",
+            "--gen_num_per_spectrum", "1",
+        ])
+        assert os.path.isfile(
+            os.path.join(run_dir, "generated_amorphous.npz")
+        )
+
+
+class TestCNCLI:
+    def test_cn_predictor_trains(self, capsys):
+        from diffusion_model_tpu.cli import cn
+
+        cn.main(["--synthetic", "64", "--epochs", "60"])
+        out = capsys.readouterr().out
+        assert "test MAE" in out
