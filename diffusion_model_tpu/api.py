@@ -94,6 +94,8 @@ def train(cfg: Config, dataset: list, run_dir: str,
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     epoch = start_epoch
+    nan_recoveries = 0
+    good_state = state
     for epoch in range(start_epoch, epochs):
         key, k_tr, k_ev = jax.random.split(key, 3)
         batches = batch_iterator(
@@ -101,6 +103,20 @@ def train(cfg: Config, dataset: list, run_dir: str,
         )
         state, train_loss = trainer.train_epoch(state, k_tr, batches,
                                                 mesh=mesh)
+        # Training-level failure detection: a non-finite epoch rolls back
+        # to the last good state instead of poisoning the run (the
+        # reference's only failure handling is the sampler's NaN retry +
+        # exit(), SURVEY.md §5).
+        if not np.isfinite(train_loss):
+            nan_recoveries += 1
+            logger.log({"nan_recovery": nan_recoveries}, step=epoch)
+            if nan_recoveries > 10:
+                raise RuntimeError(
+                    "training diverged: 10 non-finite epochs"
+                )
+            state = good_state
+            continue
+        good_state = state
         val_batches = batch_iterator(val_set, cfg.batch_size, cfg.n_max)
         eval_loss = trainer.eval_epoch(state, k_ev, val_batches, mesh=mesh)
         logger.log(
@@ -171,8 +187,20 @@ def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
     def cat(field):
         return np.concatenate([getattr(o, field) for o in outs], axis=0)
 
+    extra = {}
+    if return_trajectory and outs and outs[0].trajectory is not None:
+        # [snapshots, total_samples, N, *] — the per-100-step transition
+        # record of ref parts/train_per_iretation.py:331-337
+        extra["trajectory_pos"] = np.concatenate(
+            [o.trajectory[0] for o in outs], axis=1
+        )
+        extra["trajectory_h"] = np.concatenate(
+            [o.trajectory[1] for o in outs], axis=1
+        )
+
     return {
         "ids": ids,
+        **extra,
         "original_pos": np.concatenate(orig_pos, axis=0),
         "original_species": np.concatenate(orig_species, axis=0),
         "mask": np.concatenate(masks, axis=0),

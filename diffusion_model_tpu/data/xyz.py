@@ -73,6 +73,23 @@ def write_xyz_pair_dir(save_dir: str, sample_id: str,
     return out
 
 
+def write_xyz_trajectory(path: str, traj_pos: np.ndarray,
+                         species: np.ndarray, comment: str = "") -> None:
+    """Multi-frame xyz movie of a reverse-diffusion trajectory
+    (the per-100-step debug dumps of ref test.py:26-54).
+
+    traj_pos: ``[frames, N, 3]``; species: ``[N, A]``.
+    """
+    traj_pos = np.asarray(traj_pos)
+    with open(path, "w") as f:
+        for frame in range(traj_pos.shape[0]):
+            f.write(f"{traj_pos.shape[1]}\n{comment} frame {frame}\n")
+            for i in range(traj_pos.shape[1]):
+                sym = species_symbol(species[i])
+                p = traj_pos[frame, i]
+                f.write(f"{sym} {p[0]} {p[1]} {p[2]}\n")
+
+
 _SYMBOL_TO_ONEHOT = {
     "O": O_ONEHOT, "F": O_ONEHOT,
     "Si": SI_ONEHOT, "Al": SI_ONEHOT,

@@ -107,3 +107,64 @@ class TestResume:
         assert max(steps) == 11
         # resume started at epoch 6, not 0
         assert steps.count(0) == 1
+
+
+class TestNanRecovery:
+    def test_rollback_on_divergence(self, tmp_path, monkeypatch):
+        """A non-finite epoch rolls back to the last good state."""
+        cfg = Config(
+            n_max=8, L=1, m_hidden_size=16, h_hidden_size=16,
+            x_hidden_size=16, m_size=8, spectrum_size=16,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            num_diffusion_timestep=10, batch_size=8, optimizer="Adam",
+        )
+        graphs = synthetic_sio2_dataset(3, 16, cfg.n_max,
+                                        spectrum_size=cfg.spectrum_size)
+        from diffusion_model_tpu.train import Trainer
+
+        calls = {"n": 0}
+        orig = Trainer.train_epoch
+
+        def flaky(self, state, key, batches, mesh=None):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second epoch "diverges"
+                return state, float("nan")
+            return orig(self, state, key, batches, mesh=mesh)
+
+        monkeypatch.setattr(Trainer, "train_epoch", flaky)
+        run_dir = str(tmp_path / "nanrun")
+        trainer, state, _ = api.train(cfg, graphs, run_dir, num_epochs=4)
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        assert any("nan_recovery" in r for r in recs)
+        finite_epochs = [r for r in recs if "train_loss" in r]
+        assert len(finite_epochs) == 3  # epoch 2 rolled back, others logged
+        assert all(np.isfinite(r["train_loss"]) for r in finite_epochs)
+
+
+class TestTrajectory:
+    def test_generate_trajectory_and_movie(self, tmp_path):
+        from diffusion_model_tpu.data.xyz import write_xyz_trajectory
+
+        cfg = Config(
+            n_max=8, L=1, m_hidden_size=16, h_hidden_size=16,
+            x_hidden_size=16, m_size=8, spectrum_size=16,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            num_diffusion_timestep=20, snapshot_every=5, batch_size=8,
+            optimizer="Adam", noise_precision=0.05, gen_num_per_spectrum=1,
+        )
+        graphs = synthetic_sio2_dataset(5, 16, cfg.n_max,
+                                        spectrum_size=cfg.spectrum_size)
+        trainer, state, (tr, va, te) = api.train(
+            cfg, graphs, str(tmp_path / "t"), num_epochs=1
+        )
+        results = api.generate(cfg, trainer, state, te,
+                               return_trajectory=True)
+        traj = results["trajectory_pos"]
+        assert traj.shape[0] == 4  # 20 steps / snapshot_every 5
+        assert traj.shape[1] == len(results["ids"])
+        movie = str(tmp_path / "movie.xyz")
+        write_xyz_trajectory(movie, traj[:, 0],
+                             results["generated_species"][0])
+        content = open(movie).read()
+        assert content.count("frame") == 4
