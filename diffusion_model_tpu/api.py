@@ -172,17 +172,37 @@ def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
     orig_pos, orig_species, masks = [], [], []
     for start in range(0, len(test_graphs), batch_size):
         chunk = test_graphs[start : start + batch_size]
+        n_real = len(chunk)
+        if n_real < batch_size and len(test_graphs) >= batch_size:
+            # pad the final chunk so the jitted scan keeps one shape
+            # (padded entries are trimmed from the outputs below)
+            chunk = list(chunk) + [chunk[-1]] * (batch_size - n_real)
         cond = collate(chunk, cfg.n_max)
         tiled = tile_batch(cond, g)
         key, sub = jax.random.split(key)
         res = sample_with_retry(denoise_fn, schedule, cfg, sub, tiled,
                                 jitted_sample=jitted)
-        outs.append(jax.tree.map(np.asarray, res))
-        for gr in chunk:
+        res = jax.tree.map(np.asarray, res)
+        if n_real < len(chunk):
+            keep = n_real * g
+            traj = res.trajectory
+            if traj is not None:
+                traj = tuple(t[:, :keep] for t in traj)
+            res = SampleResult(
+                pos=res.pos[:keep], species=res.species[:keep],
+                h=res.h[:keep], finite=res.finite[:keep],
+                accepted=res.accepted[:keep], trajectory=traj,
+            )
+        outs.append(res)
+        for gr in chunk[:n_real]:
             ids += [gr["id"]] * g
-        orig_pos.append(np.repeat(np.asarray(cond.pos), g, axis=0))
-        orig_species.append(np.repeat(np.asarray(cond.species), g, axis=0))
-        masks.append(np.repeat(np.asarray(cond.mask), g, axis=0))
+        orig_pos.append(
+            np.repeat(np.asarray(cond.pos[:n_real]), g, axis=0)
+        )
+        orig_species.append(
+            np.repeat(np.asarray(cond.species[:n_real]), g, axis=0)
+        )
+        masks.append(np.repeat(np.asarray(cond.mask[:n_real]), g, axis=0))
 
     def cat(field):
         return np.concatenate([getattr(o, field) for o in outs], axis=0)

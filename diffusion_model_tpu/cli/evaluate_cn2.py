@@ -27,12 +27,18 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = load_run_config(args.run_dir)
-    results = load_results(args.run_dir)
+    # accepted_only=False: group means need the contiguous groups-of-g
+    # layout; rejected rows are NaN-filled so their groups drop out of
+    # per_graph_group_means instead of shifting later groups
+    results = load_results(args.run_dir, accepted_only=False)
     logger = RunLogger(args.run_dir)
     g = cfg.gen_num_per_spectrum
+    rejected = ~results["accepted"].astype(bool)
 
-    theta = cn2_statistics(results["original_pos"][:, :3])["angle_deg"]
-    phi = cn2_statistics(results["generated_pos"][:, :3])["angle_deg"]
+    stats_o = cn2_statistics(results["original_pos"][:, :3])
+    stats_g = cn2_statistics(results["generated_pos"][:, :3])
+    theta = np.where(rejected, np.nan, stats_o["angle_deg"])
+    phi = np.where(rejected, np.nan, stats_g["angle_deg"])
     avg_theta = per_graph_group_means(theta, g)
     avg_phi = per_graph_group_means(phi, g)
     n = min(len(avg_theta), len(avg_phi))
@@ -61,14 +67,18 @@ def main(argv=None):
     logger.log_figure("cn2_angle_scatter", fig)
     plt.close(fig)
 
-    b_orig = cn2_statistics(results["original_pos"][:, :3])
-    b_gen = cn2_statistics(results["generated_pos"][:, :3])
-    bonds_orig = np.concatenate([b_orig["bond1"], b_orig["bond2"]])
-    bonds_gen = np.concatenate([b_gen["bond1"], b_gen["bond2"]])
-    r2_bond = r2score(
-        per_graph_group_means(bonds_orig, g),
-        per_graph_group_means(bonds_gen, g),
-    )
+    bonds_orig = np.concatenate([
+        np.where(rejected, np.nan, stats_o["bond1"]),
+        np.where(rejected, np.nan, stats_o["bond2"]),
+    ])
+    bonds_gen = np.concatenate([
+        np.where(rejected, np.nan, stats_g["bond1"]),
+        np.where(rejected, np.nan, stats_g["bond2"]),
+    ])
+    avg_bo = per_graph_group_means(bonds_orig, g)
+    avg_bg = per_graph_group_means(bonds_gen, g)
+    nb = min(len(avg_bo), len(avg_bg))
+    r2_bond = r2score(avg_bo[:nb], avg_bg[:nb])
     fig, ax = plt.subplots(figsize=(7, 7))
     ax.plot(bonds_orig, bonds_gen, "o", alpha=0.4)
     lims = [0, max(bonds_orig.max(), bonds_gen.max()) * 1.1]

@@ -36,10 +36,18 @@ class CellStructure:
 
 def lattice_from_parameters(a, b, c, alpha, beta, gamma) -> np.ndarray:
     """Standard crystallographic lattice matrix (row vectors), matching
-    pymatgen ``Lattice.from_parameters`` conventions."""
+    pymatgen ``Lattice.from_parameters`` conventions:
+
+        gamma* = arccos((cos(alpha) cos(beta) - cos(gamma)) /
+                        (sin(alpha) sin(beta)))
+        va = (a sin(beta), 0, a cos(beta))
+        vb = (-b sin(alpha) cos(gamma*), b sin(alpha) sin(gamma*),
+              b cos(alpha))
+        vc = (0, 0, c)
+    """
     alpha_r, beta_r, gamma_r = np.radians([alpha, beta, gamma])
-    val = (np.cos(alpha_r) - np.cos(beta_r) * np.cos(gamma_r)) / (
-        np.sin(beta_r) * np.sin(gamma_r)
+    val = (np.cos(alpha_r) * np.cos(beta_r) - np.cos(gamma_r)) / (
+        np.sin(alpha_r) * np.sin(beta_r)
     )
     val = np.clip(val, -1.0, 1.0)
     gamma_star = np.arccos(val)

@@ -175,23 +175,32 @@ def sample_with_retry(
         jitted_sample = partial(sample, denoise_fn, schedule, cfg)
     result = jitted_sample(key, cond)
     for _ in range(cfg.max_nan_retries):
-        ok = bool(jnp.all(result.finite))
-        if ok:
+        # the reference regenerates until every condition has an *accepted*
+        # sample (NaN and >1000 A rejects alike, ref :299,431-436)
+        if bool(jnp.all(result.accepted)):
             break
         key, sub = jax.random.split(key)
         retry = jitted_sample(sub, cond)
-        take = (~result.finite) & retry.finite
+        take = (~result.accepted) & retry.accepted
 
-        def merge(old, new):
-            sel = take.reshape((-1,) + (1,) * (old.ndim - 1))
-            return jnp.where(sel, new, old)
+        def merge(old, new, axis=0):
+            shape = [1] * old.ndim
+            shape[axis] = -1
+            return jnp.where(take.reshape(shape), new, old)
 
+        trajectory = result.trajectory
+        if trajectory is not None and retry.trajectory is not None:
+            # trajectories are [snapshots, B, ...] — batch axis 1
+            trajectory = jax.tree.map(
+                lambda o, n: merge(o, n, axis=1), trajectory,
+                retry.trajectory,
+            )
         result = SampleResult(
             pos=merge(result.pos, retry.pos),
             species=merge(result.species, retry.species),
             h=merge(result.h, retry.h),
-            finite=result.finite | retry.finite,
-            accepted=jnp.where(take, retry.accepted, result.accepted),
-            trajectory=result.trajectory,
+            finite=jnp.where(take, retry.finite, result.finite),
+            accepted=result.accepted | retry.accepted,
+            trajectory=trajectory,
         )
     return result

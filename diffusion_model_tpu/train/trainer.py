@@ -43,17 +43,27 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     (``max_grad_norm`` exists in parameters.yaml:17 though the reference
     never wires it up; we do)."""
     if cfg.optimizer == "Adam":
+        # torch.optim.Adam(weight_decay=wd) = coupled L2: decay added to
+        # the gradient before the moment estimates
         base = optax.adam(cfg.lr)
         if cfg.weight_decay:
             base = optax.chain(
                 optax.add_decayed_weights(cfg.weight_decay), base
             )
     elif cfg.optimizer == "AdamW":
-        base = optax.amsgrad(cfg.lr)
-        base = optax.chain(optax.add_decayed_weights(cfg.weight_decay), base)
+        # torch.optim.AdamW(amsgrad=True) = DEcoupled decay: applied after
+        # the Adam scaling, before the learning-rate step
+        base = optax.chain(
+            optax.scale_by_amsgrad(),
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_learning_rate(cfg.lr),
+        )
     elif cfg.optimizer == "RAdamScheduleFree":
+        # schedule-free replaces the base optimizer's momentum with its
+        # y/z/x interpolation — the base must run with b1=0 (optax's own
+        # schedule_free_adamw does the same)
         base = optax.contrib.schedule_free(
-            optax.radam(cfg.lr), learning_rate=cfg.lr
+            optax.radam(cfg.lr, b1=0.0), learning_rate=cfg.lr
         )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
@@ -158,6 +168,10 @@ class Trainer:
     def _loss(self, params, key, batch: GraphBatch):
         cfg = self.cfg
         schedule = self.schedule_for(params)
+        # independent streams: the Kabsch reverse chain must not reuse the
+        # key that drew the epsilon targets (identical splits would make
+        # its init noise bit-equal to eps_pos)
+        key, k_kabsch = jax.random.split(key)
         pos_t, h_t, t, eps_pos, eps_h = diffuse_batch(
             schedule, cfg, key, batch
         )
@@ -181,7 +195,7 @@ class Trainer:
         )
         if cfg.kabsch_loss:
             loss = loss + cfg.kabsch_loss_weight * self._kabsch_loss(
-                params, key, batch, schedule
+                params, k_kabsch, batch, schedule
             )
         return loss, (sum_sq, num_nodes)
 

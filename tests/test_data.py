@@ -67,6 +67,27 @@ class TestCell:
         gram = lat @ lat.T
         np.testing.assert_allclose(gram, np.eye(3) * 16, atol=1e-6)
 
+    @pytest.mark.parametrize("abc,angles", [
+        ((4.9, 4.9, 5.4), (90, 90, 120)),   # hexagonal (quartz-like)
+        ((3.1, 4.2, 5.3), (85, 95, 100)),   # triclinic
+        ((5.0, 5.0, 5.0), (60, 60, 60)),    # rhombohedral
+    ])
+    def test_lattice_angles_recovered(self, abc, angles):
+        """The built lattice must reproduce the requested cell parameters —
+        lengths AND angles (a bad gamma* formula once passed the cubic test
+        by accident)."""
+        lat = lattice_from_parameters(*abc, *angles)
+        lengths = np.linalg.norm(lat, axis=1)
+        np.testing.assert_allclose(lengths, abc, rtol=1e-9)
+
+        def ang(u, v):
+            return np.degrees(np.arccos(
+                np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+            ))
+
+        got = (ang(lat[1], lat[2]), ang(lat[0], lat[2]), ang(lat[0], lat[1]))
+        np.testing.assert_allclose(got, angles, rtol=1e-7)
+
     def test_supercell(self, cell_file):
         s = read_castep_cell(cell_file)
         sc = supercell_333(s)
