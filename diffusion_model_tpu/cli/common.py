@@ -25,7 +25,12 @@ def load_results(run_dir: str, artifact: str = "generated_graph_save_path",
         keep = np.nonzero(results["accepted"])[0]
         results["ids"] = [results["ids"][i] for i in keep]
         for k, v in results.items():
-            if k != "ids":
+            if k == "ids":
+                continue
+            if k.startswith("trajectory"):
+                # [snapshots, samples, ...] — the sample axis is axis 1
+                results[k] = np.asarray(v)[:, keep]
+            else:
                 results[k] = np.asarray(v)[keep]
     return results
 

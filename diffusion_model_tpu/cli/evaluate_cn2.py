@@ -37,8 +37,16 @@ def main(argv=None):
 
     stats_o = cn2_statistics(results["original_pos"][:, :3])
     stats_g = cn2_statistics(results["generated_pos"][:, :3])
-    theta = np.where(rejected, np.nan, stats_o["angle_deg"])
-    phi = np.where(rejected, np.nan, stats_g["angle_deg"])
+    # symmetric invalidation: a NaN on either side (rejected sample or a
+    # degenerate generated bond) must drop the pair from BOTH arrays, or
+    # per_graph_group_means' independent NaN-group dropping misaligns them
+    bad = (
+        rejected
+        | ~np.isfinite(stats_o["angle_deg"])
+        | ~np.isfinite(stats_g["angle_deg"])
+    )
+    theta = np.where(bad, np.nan, stats_o["angle_deg"])
+    phi = np.where(bad, np.nan, stats_g["angle_deg"])
     avg_theta = per_graph_group_means(theta, g)
     avg_phi = per_graph_group_means(phi, g)
     n = min(len(avg_theta), len(avg_phi))
@@ -67,13 +75,18 @@ def main(argv=None):
     logger.log_figure("cn2_angle_scatter", fig)
     plt.close(fig)
 
+    bad_bond = (
+        rejected
+        | ~np.isfinite(stats_o["bond1"]) | ~np.isfinite(stats_o["bond2"])
+        | ~np.isfinite(stats_g["bond1"]) | ~np.isfinite(stats_g["bond2"])
+    )
     bonds_orig = np.concatenate([
-        np.where(rejected, np.nan, stats_o["bond1"]),
-        np.where(rejected, np.nan, stats_o["bond2"]),
+        np.where(bad_bond, np.nan, stats_o["bond1"]),
+        np.where(bad_bond, np.nan, stats_o["bond2"]),
     ])
     bonds_gen = np.concatenate([
-        np.where(rejected, np.nan, stats_g["bond1"]),
-        np.where(rejected, np.nan, stats_g["bond2"]),
+        np.where(bad_bond, np.nan, stats_g["bond1"]),
+        np.where(bad_bond, np.nan, stats_g["bond2"]),
     ])
     avg_bo = per_graph_group_means(bonds_orig, g)
     avg_bg = per_graph_group_means(bonds_gen, g)

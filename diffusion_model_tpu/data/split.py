@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from diffusion_model_tpu.data.batch import GraphBatch, collate
@@ -31,18 +32,27 @@ def split_dataset(dataset: Sequence, seed: int, train_ratio: float = 0.8,
 def batch_iterator(graphs: Sequence[dict], batch_size: int, n_max: int,
                    seed: int | None = None, drop_remainder: bool = False
                    ) -> Iterator[GraphBatch]:
-    """Shuffled padded batches. The final short batch is padded up to
-    ``batch_size`` by repeating entries with their masks kept (so static
-    shapes are preserved under jit) unless ``drop_remainder``."""
+    """Shuffled padded batches with static shapes.
+
+    The final short batch is padded up to ``batch_size`` by repeating
+    entries **with their node masks zeroed**, so padded rows contribute
+    nothing to losses/metrics (each graph is weighted exactly once per
+    epoch, as in the reference) while jit sees one batch shape.
+    """
     idx = np.arange(len(graphs))
     if seed is not None:
         np.random.default_rng(seed).shuffle(idx)
     for start in range(0, len(idx), batch_size):
         chunk = idx[start : start + batch_size]
-        if len(chunk) < batch_size:
+        n_real = len(chunk)
+        if n_real < batch_size:
             if drop_remainder:
                 return
-            chunk = np.concatenate(
-                [chunk, idx[: batch_size - len(chunk)]]
-            )
-        yield collate([graphs[i] for i in chunk], n_max)
+            filler = np.resize(idx, batch_size - n_real)  # cycles if tiny
+            chunk = np.concatenate([chunk, filler])
+        batch = collate([graphs[i] for i in chunk], n_max)
+        if n_real < batch_size:
+            mask = np.array(batch.mask)  # writable copy
+            mask[n_real:] = 0.0
+            batch = batch.replace(mask=jnp.asarray(mask))
+        yield batch

@@ -118,7 +118,10 @@ def sample(
             )
         else:
             new_h = h
-        out = (new_pos, new_h) if return_trajectory else None
+        # trajectory records the PRE-step state, as the reference snapshots
+        # at the top of the loop (incl. the pure-noise t=T frame, ref
+        # :331-337); frame k is the state entering step ts[k]
+        out = (pos, h) if return_trajectory else None
         return (new_pos, new_h, k), out
 
     ts = jnp.arange(steps, 0, -1)

@@ -61,6 +61,10 @@ def epsilon_loss(eps_x_pred, eps_h_pred, eps_x, eps_h, mask,
     sq = jnp.sum(((eps_x_pred - eps_x) ** 2) * m3)
     if include_h:
         sq = sq + jnp.sum(((eps_h_pred - eps_h) ** 2) * m3)
-    num_graphs = jnp.asarray(mask.shape[0], sq.dtype)
+    # count only graphs with at least one real node (batch padding rows
+    # have all-zero masks and must not dilute the per-graph normalisation)
+    num_graphs = jnp.maximum(
+        jnp.sum(jnp.any(mask > 0, axis=-1).astype(sq.dtype)), 1.0
+    )
     num_nodes = jnp.sum(mask)
     return sq / num_graphs, sq, num_nodes

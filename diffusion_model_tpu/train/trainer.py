@@ -212,7 +212,9 @@ class Trainer:
 
         cfg = self.cfg
         steps = cfg.kabsch_loss_steps or cfg.num_diffusion_timestep
-        sub_cfg = cfg.replace(num_diffusion_timestep=steps)
+        # sample_steps=0: the schedule is already subsampled here — letting
+        # the sampler re-stride it would run duplicate identity steps
+        sub_cfg = cfg.replace(num_diffusion_timestep=steps, sample_steps=0)
         if steps != cfg.num_diffusion_timestep:
             # subsample the schedule table onto the reduced step count
             idx = jnp.linspace(
@@ -269,21 +271,25 @@ class Trainer:
     def train_epoch(self, state, key, batches, mesh=None) -> tuple:
         """One pass over ``batches``; with ``mesh`` the graph-batch axis is
         sharded over the ``data`` axis (params replicated by the caller or
-        on first step by GSPMD)."""
-        total_sq, total_nodes = 0.0, 0.0
+        on first step by GSPMD). Metric accumulation stays on device so
+        step dispatch never blocks on a host sync (one transfer per epoch,
+        not per batch — the remote-TPU RPC is ~30 ms each)."""
+        total_sq = jnp.zeros(())
+        total_nodes = jnp.zeros(())
         for i, batch in enumerate(batches):
             key, sub = jax.random.split(key)
             state, m = self.train_step(state, sub, self._place(batch, mesh))
-            total_sq += float(m["sum_sq"])
-            total_nodes += float(m["num_nodes"])
-        return state, total_sq / max(total_nodes, 1.0)
+            total_sq = total_sq + m["sum_sq"]
+            total_nodes = total_nodes + m["num_nodes"]
+        return state, float(total_sq) / max(float(total_nodes), 1.0)
 
     def eval_epoch(self, state, key, batches, mesh=None) -> float:
-        total_sq, total_nodes = 0.0, 0.0
+        total_sq = jnp.zeros(())
+        total_nodes = jnp.zeros(())
         params = state.eval_params(self.cfg)
         for batch in batches:
             key, sub = jax.random.split(key)
             m = self._eval_step(params, sub, self._place(batch, mesh))
-            total_sq += float(m["sum_sq"])
-            total_nodes += float(m["num_nodes"])
-        return total_sq / max(total_nodes, 1.0)
+            total_sq = total_sq + m["sum_sq"]
+            total_nodes = total_nodes + m["num_nodes"]
+        return float(total_sq) / max(float(total_nodes), 1.0)
