@@ -219,3 +219,57 @@ class TestBatching:
         batches = list(batch_iterator(ds, 2, 12))
         assert len(batches) == 3
         assert all(b.pos.shape[0] == 2 for b in batches)
+
+
+HEX_CELL_TEXT = """%BLOCK LATTICE_ABC
+4.9 4.9 5.4
+90.0 90.0 120.0
+%ENDBLOCK LATTICE_ABC
+
+%BLOCK POSITIONS_FRAC
+O:ex 0.4 0.27 0.21
+Si 0.47 0.0 0.0
+Si 0.0 0.47 0.33
+O 0.41 0.14 0.55
+%ENDBLOCK POSITIONS_FRAC
+"""
+
+
+class TestHexagonalCell:
+    """Quartz-like (hexagonal) cell through the full pipeline — guards the
+    lattice-angle construction (a wrong gamma* formula once survived the
+    cubic-only tests)."""
+
+    def test_cell_geometry(self, tmp_path):
+        p = tmp_path / "coreloss.cell"
+        p.write_text(HEX_CELL_TEXT)
+        s = read_castep_cell(str(p))
+        # hexagonal cell volume = a^2 c sin(120)
+        want_vol = 4.9**2 * 5.4 * np.sin(np.radians(120))
+        np.testing.assert_allclose(
+            np.abs(np.linalg.det(s.lattice)), want_vol, rtol=1e-9
+        )
+        # a-b angle is 120 degrees
+        la, lb = s.lattice[0], s.lattice[1]
+        cos_ab = np.dot(la, lb) / (np.linalg.norm(la) * np.linalg.norm(lb))
+        np.testing.assert_allclose(np.degrees(np.arccos(cos_ab)), 120,
+                                   rtol=1e-9)
+
+    def test_native_matches_numpy_on_hexagonal(self, tmp_path):
+        from diffusion_model_tpu.data import native
+        from diffusion_model_tpu.data.shells import build_graph
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        p = tmp_path / "coreloss.cell"
+        p.write_text(HEX_CELL_TEXT)
+        s = read_castep_cell(str(p))
+        spec = np.ones(8, np.float32)
+        g_native = build_graph(s, 2, spec, "hex", use_native=True)
+        g_numpy = build_graph(s, 2, spec, "hex", use_native=False)
+        np.testing.assert_allclose(g_native["pos"], g_numpy["pos"],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(g_native["species"],
+                                      g_numpy["species"])
+        # periodic 2NN shell around exO found real neighbours
+        assert g_numpy["pos"].shape[0] > 1
