@@ -144,14 +144,23 @@ def load_trained(run_dir: str, cfg: Config, example: GraphBatch):
 
 def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
              key=None, gen_num_per_spectrum: Optional[int] = None,
-             batch_size: int = 16, return_trajectory: bool = False):
+             batch_size: int = 16, return_trajectory: bool = False,
+             size_predictor=None):
     """Sample ``gen_num_per_spectrum`` structures per test condition
     (ref parts/train_per_iretation.py:264-444).
+
+    ``size_predictor``: optional ``(CNPredictor module, params)`` — the
+    generated structure size is then *predicted* from the spectrum instead
+    of copied from the condition (the reference hardcodes the true size
+    with the comment that it "should be predicted", ref :291-292, and
+    ships the CN model for it, ref CN.py).
 
     Returns dict with original arrays, generated SampleResult fields and the
     repeat-expanded ids (condition i repeated G times, contiguous — the
     grouping the CN2 evaluator's group means expect).
     """
+    if size_predictor is not None:
+        test_graphs = predict_sizes(cfg, size_predictor, test_graphs)
     g = gen_num_per_spectrum or cfg.gen_num_per_spectrum
     key = key if key is not None else jax.random.key(cfg.seed)
     params = state.eval_params(cfg)
@@ -230,6 +239,36 @@ def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
         "finite": cat("finite"),
         "accepted": cat("accepted"),
     }
+
+
+def predict_sizes(cfg: Config, size_predictor, test_graphs: list) -> list:
+    """Re-size each condition to the CN-predicted atom count: the per-node
+    arrays are truncated or zero-padded to round(model(spectrum)) atoms
+    (clamped to [2, n_max]); node 0 (exO) keeps the real spectrum row."""
+    model, params = size_predictor
+    spectra = jnp.asarray(
+        np.stack([np.asarray(g["spectrum"][0], np.float32)
+                  for g in test_graphs])
+    )
+    pred = np.asarray(model.apply(params, spectra))[:, 0]
+    sizes = np.clip(np.round(pred), 2, cfg.n_max).astype(int)
+    out = []
+    for g, n in zip(test_graphs, sizes):
+        g = dict(g)
+        cur = np.asarray(g["pos"]).shape[0]
+        for field in ("pos", "species", "spectrum", "exo"):
+            a = np.asarray(g[field], np.float32)
+            if n <= cur:
+                g[field] = a[:n]
+            else:
+                padded = np.zeros((n,) + a.shape[1:], np.float32)
+                padded[:cur] = a
+                g[field] = padded
+        # default species for grown slots: O one-hot (argmax decodes anyway)
+        if n > cur:
+            g["species"][cur:, 0] = 1.0
+        out.append(g)
+    return out
 
 
 def evaluate(results: dict, run_dir: str, logger: Optional[RunLogger] = None,

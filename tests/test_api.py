@@ -168,3 +168,61 @@ class TestTrajectory:
                              results["generated_species"][0])
         content = open(movie).read()
         assert content.count("frame") == 4
+
+
+class TestSizePrediction:
+    def test_generate_with_predicted_sizes(self, tmp_path):
+        """Full predicted-size pipeline: CN MLP chooses the atom count
+        (the reference hardcodes the true size with a 'should be
+        predicted' comment, ref parts/train_per_iretation.py:291-292)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from diffusion_model_tpu.nn import CNPredictor
+
+        cfg = Config(
+            n_max=8, L=1, m_hidden_size=16, h_hidden_size=16,
+            x_hidden_size=16, m_size=8, spectrum_size=24,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            num_diffusion_timestep=5, batch_size=8, optimizer="Adam",
+            noise_precision=0.05, gen_num_per_spectrum=1,
+        )
+        graphs = synthetic_sio2_dataset(6, 48, cfg.n_max,
+                                        spectrum_size=cfg.spectrum_size)
+        trainer, state, (tr, va, te) = api.train(
+            cfg, graphs, str(tmp_path / "s"), num_epochs=1
+        )
+
+        # train the CN predictor on the spectra -> atom counts
+        cn = CNPredictor(hidden_dims=(32, 16))
+        x = jnp.asarray(np.stack([g["spectrum"][0] for g in tr]))
+        y = jnp.asarray([[float(g["pos"].shape[0])] for g in tr])
+        params = cn.init(jax.random.key(0), x)
+        opt = optax.adam(1e-2)
+        ost = opt.init(params)
+
+        @jax.jit
+        def step(p, o):
+            loss, grads = jax.value_and_grad(
+                lambda q: jnp.mean((cn.apply(q, x) - y) ** 2)
+            )(p)
+            up, o = opt.update(grads, o)
+            return optax.apply_updates(p, up), o, loss
+
+        for _ in range(300):
+            params, ost, loss = step(params, ost)
+        # predictor learned the CN-encoding spectra
+        pred = np.round(np.asarray(cn.apply(params, x))[:, 0])
+        truth = np.asarray(y)[:, 0]
+        assert (pred == truth).mean() > 0.7
+
+        results = api.generate(cfg, trainer, state, te,
+                               size_predictor=(cn, params))
+        sizes = np.asarray(results["mask"]).sum(-1)
+        want = np.clip(np.round(np.asarray(
+            cn.apply(params, jnp.asarray(
+                np.stack([g["spectrum"][0] for g in te])
+            ))
+        )[:, 0]), 2, cfg.n_max)
+        np.testing.assert_array_equal(sizes, want)
