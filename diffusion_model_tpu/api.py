@@ -251,6 +251,12 @@ def predict_sizes(cfg: Config, size_predictor, test_graphs: list) -> list:
                   for g in test_graphs])
     )
     pred = np.asarray(model.apply(params, spectra))[:, 0]
+    # non-finite predictions (untrained/diverged model) fall back to the
+    # condition's true size instead of np.clip(NaN).astype(int) garbage
+    true_sizes = np.asarray(
+        [np.asarray(g["pos"]).shape[0] for g in test_graphs], np.float64
+    )
+    pred = np.where(np.isfinite(pred), pred, true_sizes)
     sizes = np.clip(np.round(pred), 2, cfg.n_max).astype(int)
     out = []
     for g, n in zip(test_graphs, sizes):

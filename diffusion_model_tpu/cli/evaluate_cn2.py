@@ -14,8 +14,8 @@ import numpy as np
 
 from diffusion_model_tpu.cli.common import load_results
 from diffusion_model_tpu.evals import (
+    aligned_group_means,
     cn2_statistics,
-    per_graph_group_means,
     r2score,
 )
 from diffusion_model_tpu.utils.logging import RunLogger, load_run_config
@@ -37,20 +37,10 @@ def main(argv=None):
 
     stats_o = cn2_statistics(results["original_pos"][:, :3])
     stats_g = cn2_statistics(results["generated_pos"][:, :3])
-    # symmetric invalidation: a NaN on either side (rejected sample or a
-    # degenerate generated bond) must drop the pair from BOTH arrays, or
-    # per_graph_group_means' independent NaN-group dropping misaligns them
-    bad = (
-        rejected
-        | ~np.isfinite(stats_o["angle_deg"])
-        | ~np.isfinite(stats_g["angle_deg"])
+    avg_theta, avg_phi = aligned_group_means(
+        stats_o["angle_deg"], stats_g["angle_deg"], g, invalid=rejected
     )
-    theta = np.where(bad, np.nan, stats_o["angle_deg"])
-    phi = np.where(bad, np.nan, stats_g["angle_deg"])
-    avg_theta = per_graph_group_means(theta, g)
-    avg_phi = per_graph_group_means(phi, g)
-    n = min(len(avg_theta), len(avg_phi))
-    avg_theta, avg_phi = avg_theta[:n], avg_phi[:n]
+    n = len(avg_theta)
     r2 = r2score(avg_theta, avg_phi)
 
     import matplotlib
@@ -75,26 +65,17 @@ def main(argv=None):
     logger.log_figure("cn2_angle_scatter", fig)
     plt.close(fig)
 
-    bad_bond = (
-        rejected
-        | ~np.isfinite(stats_o["bond1"]) | ~np.isfinite(stats_o["bond2"])
-        | ~np.isfinite(stats_g["bond1"]) | ~np.isfinite(stats_g["bond2"])
-    )
-    bonds_orig = np.concatenate([
-        np.where(bad_bond, np.nan, stats_o["bond1"]),
-        np.where(bad_bond, np.nan, stats_o["bond2"]),
-    ])
-    bonds_gen = np.concatenate([
-        np.where(bad_bond, np.nan, stats_g["bond1"]),
-        np.where(bad_bond, np.nan, stats_g["bond2"]),
-    ])
-    avg_bo = per_graph_group_means(bonds_orig, g)
-    avg_bg = per_graph_group_means(bonds_gen, g)
-    nb = min(len(avg_bo), len(avg_bg))
-    r2_bond = r2score(avg_bo[:nb], avg_bg[:nb])
+    bonds_orig = np.concatenate([stats_o["bond1"], stats_o["bond2"]])
+    bonds_gen = np.concatenate([stats_g["bond1"], stats_g["bond2"]])
+    rejected2 = np.concatenate([rejected, rejected])
+    avg_bo, avg_bg = aligned_group_means(bonds_orig, bonds_gen, g,
+                                         invalid=rejected2)
+    r2_bond = r2score(avg_bo, avg_bg)
     fig, ax = plt.subplots(figsize=(7, 7))
+    bonds_orig = np.where(rejected2, np.nan, bonds_orig)
+    bonds_gen = np.where(rejected2, np.nan, bonds_gen)
     ax.plot(bonds_orig, bonds_gen, "o", alpha=0.4)
-    lims = [0, max(bonds_orig.max(), bonds_gen.max()) * 1.1]
+    lims = [0, np.nanmax([np.nanmax(bonds_orig), np.nanmax(bonds_gen)]) * 1.1]
     ax.plot(lims, lims, "-", color="red", alpha=0.5)
     ax.set_xlabel("original bond length [A]")
     ax.set_ylabel("generated bond length [A]")

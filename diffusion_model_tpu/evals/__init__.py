@@ -6,6 +6,7 @@ from diffusion_model_tpu.evals.rmsd import (
     hungarian_align,
 )
 from diffusion_model_tpu.evals.cn2 import (
+    aligned_group_means,
     cn2_statistics,
     per_graph_group_means,
     r2score,
@@ -30,6 +31,7 @@ __all__ = [
     "evaluate_by_rmsd_and_atom_type",
     "permutation_min_rmsd",
     "hungarian_align",
+    "aligned_group_means",
     "cn2_statistics",
     "per_graph_group_means",
     "r2score",

@@ -41,6 +41,28 @@ def per_graph_group_means(values: np.ndarray, group: int) -> np.ndarray:
     return means[~np.isnan(means)]
 
 
+def aligned_group_means(a, b, group: int, invalid=None):
+    """Per-condition group means of two paired per-sample arrays, with
+    symmetric invalidation so both outputs stay aligned.
+
+    Any sample where either array is non-finite (or ``invalid`` is True)
+    is NaN-filled in BOTH arrays before ``per_graph_group_means`` — its
+    group then drops from both outputs identically, preserving the pairing
+    that per-array NaN-dropping would break.
+    """
+    a = np.asarray(a, np.float64).copy()
+    b = np.asarray(b, np.float64).copy()
+    bad = ~np.isfinite(a) | ~np.isfinite(b)
+    if invalid is not None:
+        bad |= np.asarray(invalid, bool)
+    a[bad] = np.nan
+    b[bad] = np.nan
+    ga = per_graph_group_means(a, group)
+    gb = per_graph_group_means(b, group)
+    n = min(len(ga), len(gb))
+    return ga[:n], gb[:n]
+
+
 def r2score(a, b) -> float:
     """The reference's hand-rolled regression R^2 (ref CN2_evaluate.py:23-37):
     fit y = slope*x + intercept by least squares, score residuals against

@@ -226,8 +226,24 @@ class Trainer:
             lambda *args: self.model.apply(params["denoiser"], *args)
         )
         res = sample(denoise_fn, schedule, sub_cfg, key, batch)
-        rmsd = kabsch_rmsd(res.pos, batch.pos, batch.mask)
-        return jnp.mean(rmsd)
+        # Zero-mask padded batch rows would hand the SVD a zero covariance
+        # (NaN gradients through the degenerate decomposition) — substitute
+        # a fixed well-conditioned point template for padded graphs and
+        # average the RMSD over real graphs only.
+        real = jnp.any(batch.mask > 0, axis=-1)
+        n = batch.pos.shape[1]
+        t = jnp.arange(n, dtype=batch.pos.dtype)
+        template = jnp.stack(
+            [jnp.sin(t), jnp.cos(1.3 * t), jnp.sin(2.7 * t + 1.0)], axis=-1
+        )
+        r3 = real[:, None, None]
+        gen_pos = jnp.where(r3, res.pos, 1.5 * template + 1.0)
+        ref_pos = jnp.where(r3, batch.pos, template)
+        mask_safe = jnp.where(real[:, None], batch.mask,
+                              jnp.ones_like(batch.mask))
+        rmsd = kabsch_rmsd(gen_pos, ref_pos, mask_safe)
+        total = jnp.sum(jnp.where(real, rmsd, 0.0))
+        return total / jnp.maximum(jnp.sum(real.astype(rmsd.dtype)), 1.0)
 
     # -- steps ----------------------------------------------------------
     def _train_step_impl(self, state: TrainState, key, batch: GraphBatch):
@@ -276,7 +292,7 @@ class Trainer:
         not per batch — the remote-TPU RPC is ~30 ms each)."""
         total_sq = jnp.zeros(())
         total_nodes = jnp.zeros(())
-        for i, batch in enumerate(batches):
+        for batch in batches:
             key, sub = jax.random.split(key)
             state, m = self.train_step(state, sub, self._place(batch, mesh))
             total_sq = total_sq + m["sum_sq"]

@@ -116,13 +116,10 @@ def main():
         ang_g_all[cn2_rows] = np.asarray(
             cn2_angle_deg(results["generated_pos"][cn2_rows][:, :3])
         )
-        # symmetric invalidation keeps the group means aligned
-        bad = ~np.isfinite(ang_o_all) | ~np.isfinite(ang_g_all)
-        ang_o_all[bad] = np.nan
-        ang_g_all[bad] = np.nan
-        avg_o = per_graph_group_means(ang_o_all, g)
-        avg_g = per_graph_group_means(ang_g_all, g)
-        n = min(len(avg_o), len(avg_g))
+        from diffusion_model_tpu.evals import aligned_group_means
+
+        avg_o, avg_g = aligned_group_means(ang_o_all, ang_g_all, g)
+        n = len(avg_o)
         if n >= 3:
             angle_r2 = r2score(avg_o[:n], avg_g[:n])
             angle_mae = float(np.mean(np.abs(avg_o[:n] - avg_g[:n])))

@@ -150,3 +150,24 @@ class TestUnconditional:
         res = sample(trainer.denoise_fn(state.params),
                      predefined_schedule(cfg), cfg, jax.random.key(2), batch)
         assert bool(jnp.all(res.finite))
+
+
+class TestKabschLossPaddedBatch:
+    def test_no_nan_grads_with_zero_mask_rows(self):
+        """kabsch_loss over a batch containing zero-mask padding rows must
+        yield finite gradients (degenerate-SVD hazard) and average the RMSD
+        over real graphs only."""
+        cfg = tiny_cfg(kabsch_loss=True, kabsch_loss_steps=3, batch_size=4)
+        trainer = Trainer(cfg)
+        # 6 graphs, batch 4 -> final batch has 2 zero-mask padded rows
+        graphs = synthetic_sio2_dataset(0, 6, cfg.n_max,
+                                        spectrum_size=cfg.spectrum_size)
+        batches = list(batch_iterator(graphs, cfg.batch_size, cfg.n_max))
+        padded = batches[-1]
+        assert float(jnp.sum(jnp.any(padded.mask > 0, axis=-1))) == 2
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        state2, m = trainer.train_step(state, jax.random.key(1), padded)
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["grad_norm"]))
+        for leaf in jax.tree.leaves(state2.params):
+            assert np.isfinite(np.asarray(leaf)).all()
