@@ -215,3 +215,26 @@ class TestTemplate:
         d2 = np.asarray(local_descriptor(jnp.asarray(g["pos"] @ rot.T),
                                          jnp.asarray(g["species"])))
         np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+
+
+class TestAlignedGroupMeans:
+    def test_symmetric_alignment(self):
+        from diffusion_model_tpu.evals import aligned_group_means
+
+        a = np.asarray([1, 2, 3, 10, 20, 30, 100, 200, 300], np.float64)
+        b = a * 2
+        b[4] = np.nan  # invalidates group 1 on ONE side only
+        ga, gb = aligned_group_means(a, b, 3)
+        # group 1 dropped from both; pairing preserved
+        np.testing.assert_allclose(ga, [2.0, 200.0])
+        np.testing.assert_allclose(gb, [4.0, 400.0])
+
+    def test_invalid_mask(self):
+        from diffusion_model_tpu.evals import aligned_group_means
+
+        a = np.arange(6, dtype=np.float64)
+        b = np.arange(6, dtype=np.float64) + 1
+        invalid = np.asarray([False, False, True, False, False, False])
+        ga, gb = aligned_group_means(a, b, 3, invalid=invalid)
+        np.testing.assert_allclose(ga, [4.0])
+        np.testing.assert_allclose(gb, [5.0])
