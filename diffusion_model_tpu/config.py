@@ -80,6 +80,10 @@ class Config:
     latent_dim: int = 32
 
     # --- sampling ---
+    deterministic_sampling: bool = False
+    # DDIM-style eta=0 reverse process: the ancestral step's noise term is
+    # dropped (mu only), making generation a deterministic function of the
+    # initial noise + conditioning. Composes with sample_steps.
     sample_steps: int = 0
     # 0 = full num_diffusion_timestep reverse steps (reference behaviour).
     # K > 0 = strided ancestral sampling over K steps: the schedule table is

@@ -121,35 +121,47 @@ def calculate_mu(schedule: Schedule, z, eps, t):
 
 
 def reverse_diffuse_one_step(schedule: Schedule, key, z, eps, t,
-                             mode: str = "pos", mask=None):
-    """One ancestral reverse step z_t -> z_{t-1} (ref diffusion_x_h.py:75-90)."""
+                             mode: str = "pos", mask=None,
+                             deterministic: bool = False):
+    """One ancestral reverse step z_t -> z_{t-1} (ref diffusion_x_h.py:75-90).
+
+    ``deterministic=True`` drops the noise term (DDIM eta=0): the step
+    reduces to the posterior mean.
+    """
     mu = calculate_mu(schedule, z, eps, t)
-    alpha_t = schedule.alpha(t)
-    alpha_s = schedule.alpha(t - 1)
-    sq_sigma_t = 1.0 - alpha_t**2
-    sq_sigma_s = 1.0 - alpha_s**2
-    alpha_ts = alpha_t / alpha_s
-    sq_sigma_ts = sq_sigma_t - alpha_ts**2 * sq_sigma_s
-    std = jnp.sqrt(sq_sigma_ts * sq_sigma_s / sq_sigma_t)
-    noise = _noise_like(key, z, mode, mask)
-    out = mu + _bcast(std, z) * noise
+    if deterministic:
+        out = mu
+    else:
+        alpha_t = schedule.alpha(t)
+        alpha_s = schedule.alpha(t - 1)
+        sq_sigma_t = 1.0 - alpha_t**2
+        sq_sigma_s = 1.0 - alpha_s**2
+        alpha_ts = alpha_t / alpha_s
+        sq_sigma_ts = sq_sigma_t - alpha_ts**2 * sq_sigma_s
+        std = jnp.sqrt(sq_sigma_ts * sq_sigma_s / sq_sigma_t)
+        noise = _noise_like(key, z, mode, mask)
+        out = mu + _bcast(std, z) * noise
     if mask is not None:
         out = out * jnp.expand_dims(mask.astype(z.dtype), -1)
     return out
 
 
 def final_denoise_step(schedule: Schedule, key, z, eps, mode: str = "pos",
-                       mask=None):
+                       mask=None, deterministic: bool = False):
     """The explicit t=0 epilogue (ref parts/train_per_iretation.py:391-426):
 
         mu = z/alpha_0 - sigma_0 * eps / alpha_0
-        z' = mu + (sigma_0/alpha_0) * noise
+        z' = mu + (sigma_0/alpha_0) * noise   (noise dropped when
+                                               ``deterministic``)
     """
     alpha_0 = schedule.alpha(0)
     sigma_0 = schedule.sigma(0)
     mu = z / _bcast(alpha_0, z) - _bcast(sigma_0 / alpha_0, z) * eps
-    noise = _noise_like(key, z, mode, mask)
-    out = mu + _bcast(sigma_0 / alpha_0, z) * noise
+    if deterministic:
+        out = mu
+    else:
+        noise = _noise_like(key, z, mode, mask)
+        out = mu + _bcast(sigma_0 / alpha_0, z) * noise
     if mask is not None:
         out = out * jnp.expand_dims(mask.astype(z.dtype), -1)
     return out

@@ -108,13 +108,15 @@ def sample(
         k, k1, k2 = jax.random.split(k, 3)
         eps_x, eps_h = denoise(pos, h, t_norm_table[t])
         new_pos = reverse_diffuse_one_step(
-            schedule, k1, pos, eps_x, t, mode="pos", mask=mask
+            schedule, k1, pos, eps_x, t, mode="pos", mask=mask,
+            deterministic=cfg.deterministic_sampling,
         )
         if cfg.diffuse_species:
             # The reference applies the reverse step to the scaled species
             # channel graph.h[:, :A] = scale * graph.x (ref :373).
             new_h = reverse_diffuse_one_step(
-                schedule, k2, scale * h, eps_h, t, mode="h", mask=mask
+                schedule, k2, scale * h, eps_h, t, mode="h", mask=mask,
+                deterministic=cfg.deterministic_sampling,
             )
         else:
             new_h = h
@@ -130,10 +132,12 @@ def sample(
     # Explicit t=0 denoise (ref :391-426).
     eps_x, eps_h = denoise(pos, h, 0.0)
     key, k1, k2 = jax.random.split(key, 3)
-    pos = final_denoise_step(schedule, k1, pos, eps_x, mode="pos", mask=mask)
+    pos = final_denoise_step(schedule, k1, pos, eps_x, mode="pos", mask=mask,
+                             deterministic=cfg.deterministic_sampling)
     if cfg.diffuse_species:
         h = final_denoise_step(schedule, k2, scale * h, eps_h, mode="h",
-                               mask=mask)
+                               mask=mask,
+                               deterministic=cfg.deterministic_sampling)
         species = jax.nn.one_hot(
             jnp.argmax(h, axis=-1), a_dim, dtype=pos.dtype
         )

@@ -240,3 +240,28 @@ class TestStridedSampler:
         res = sample(fn, s, cfg, jax.random.key(8), cond)
         assert bool(jnp.all(res.finite))
         assert res.pos.shape == (2, cfg.n_max, 3)
+
+
+class TestDeterministicSampling:
+    def test_only_init_noise_matters(self):
+        """DDIM eta=0: two different scan keys with the same init noise give
+        identical structures; different init noise differs."""
+        cfg = small_cfg(noise_precision=0.05, deterministic_sampling=True)
+        cond = make_cond(cfg, b=2, n_real=4)
+        model = DiffusionDenoiser(cfg)
+        b, n = cond.mask.shape
+        params = model.init(
+            jax.random.key(0),
+            jnp.zeros((b, n, cfg.atom_type_size)), cond.pos, cond.spectrum,
+            cond.exo, jnp.zeros((b, n, 1)), cond.mask, cond.pair_mask(),
+        )
+        fn = lambda *a: model.apply(params, *a)
+        s = predefined_schedule(cfg)
+        r1 = sample(fn, s, cfg, jax.random.key(3), cond)
+        r2 = sample(fn, s, cfg, jax.random.key(3), cond)
+        np.testing.assert_array_equal(np.asarray(r1.pos), np.asarray(r2.pos))
+        assert bool(jnp.all(r1.finite))
+        # stochastic mode with the same key differs from deterministic
+        r3 = sample(fn, s, cfg.replace(deterministic_sampling=False),
+                    jax.random.key(3), cond)
+        assert not np.allclose(np.asarray(r1.pos), np.asarray(r3.pos))
