@@ -80,6 +80,13 @@ class Config:
     latent_dim: int = 32
 
     # --- sampling ---
+    cond_dropout_prob: float = 0.0
+    # classifier-free guidance training: per-graph probability of zeroing
+    # the spectrum conditioning so the model also learns the unconditional
+    # score. Enables guidance_scale > 0 at sampling.
+    guidance_scale: float = 0.0
+    # w > 0 blends eps = (1+w)*eps_cond - w*eps_uncond (two denoiser calls
+    # per step). 0 = plain conditional sampling (reference behaviour).
     deterministic_sampling: bool = False
     # DDIM-style eta=0 reverse process: the ancestral step's noise term is
     # dropped (mu only), making generation a deterministic function of the

@@ -99,9 +99,20 @@ def sample(
             edges = knn_edges(pos, mask, cfg.neighbor_k)
         else:
             edges = pair_mask
-        return denoise_fn(
+        eps_x, eps_h = denoise_fn(
             scale * h, pos, cond.spectrum, cond.exo, t_norm, mask, edges
         )
+        if cfg.guidance_scale > 0:
+            # classifier-free guidance: (1+w) * cond - w * uncond
+            # (requires training with cond_dropout_prob > 0)
+            ex_u, eh_u = denoise_fn(
+                scale * h, pos, jnp.zeros_like(cond.spectrum), cond.exo,
+                t_norm, mask, edges,
+            )
+            w = cfg.guidance_scale
+            eps_x = (1.0 + w) * eps_x - w * ex_u
+            eps_h = (1.0 + w) * eps_h - w * eh_u
+        return eps_x, eps_h
 
     def step(carry, t):
         pos, h, k = carry

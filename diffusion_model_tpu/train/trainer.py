@@ -168,12 +168,13 @@ class Trainer:
     def _loss(self, params, key, batch: GraphBatch):
         cfg = self.cfg
         schedule = self.schedule_for(params)
-        # independent streams: the Kabsch reverse chain must not reuse the
-        # key that drew the epsilon targets (identical splits would make
-        # its init noise bit-equal to eps_pos)
-        key, k_kabsch = jax.random.split(key)
+        # independent streams: the Kabsch reverse chain and the conditioning
+        # dropout must not reuse the key that draws the epsilon targets
+        # (sibling splits of a shared key collide with diffuse_batch's
+        # internal children)
+        k_diff, k_kabsch, k_drop = jax.random.split(key, 3)
         pos_t, h_t, t, eps_pos, eps_h = diffuse_batch(
-            schedule, cfg, key, batch
+            schedule, cfg, k_diff, batch
         )
         b, n = batch.mask.shape
         t_norm = (
@@ -185,8 +186,16 @@ class Trainer:
             edges = knn_edges(pos_t, batch.mask, cfg.neighbor_k)
         else:
             edges = batch.pair_mask()
+        spectrum = batch.spectrum
+        if cfg.cond_dropout_prob > 0:
+            # classifier-free guidance: drop the spectrum conditioning for
+            # a random subset of graphs so the unconditional score trains
+            keep = jax.random.bernoulli(
+                k_drop, 1.0 - cfg.cond_dropout_prob, (batch.batch_size,)
+            )
+            spectrum = spectrum * keep[:, None, None].astype(spectrum.dtype)
         eps_x_pred, eps_h_pred = self.model.apply(
-            params["denoiser"], h_t, pos_t, batch.spectrum, batch.exo,
+            params["denoiser"], h_t, pos_t, spectrum, batch.exo,
             t_norm, batch.mask, edges,
         )
         loss, sum_sq, num_nodes = epsilon_loss(

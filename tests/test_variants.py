@@ -171,3 +171,35 @@ class TestKabschLossPaddedBatch:
         assert np.isfinite(float(m["grad_norm"]))
         for leaf in jax.tree.leaves(state2.params):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestClassifierFreeGuidance:
+    def test_dropout_training_and_guided_sampling(self):
+        cfg = tiny_cfg(cond_dropout_prob=0.3)
+        trainer = Trainer(cfg)
+        graphs, batch = data_and_batch(cfg)
+        state = trainer.init_state(jax.random.key(0), batch)
+        state, m = trainer.train_step(state, jax.random.key(1), batch)
+        assert np.isfinite(float(m["loss"]))
+
+        s = predefined_schedule(cfg)
+        fn = trainer.denoise_fn(state.params)
+        plain = sample(fn, s, cfg, jax.random.key(2), batch)
+        guided = sample(fn, s, cfg.replace(guidance_scale=2.0),
+                        jax.random.key(2), batch)
+        assert bool(jnp.all(guided.finite))
+        # guidance changes the trajectory
+        assert not np.allclose(np.asarray(plain.pos),
+                               np.asarray(guided.pos))
+
+    def test_zero_scale_identical(self):
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        graphs, batch = data_and_batch(cfg)
+        state = trainer.init_state(jax.random.key(0), batch)
+        s = predefined_schedule(cfg)
+        fn = trainer.denoise_fn(state.params)
+        a = sample(fn, s, cfg, jax.random.key(5), batch)
+        b = sample(fn, s, cfg.replace(guidance_scale=0.0),
+                   jax.random.key(5), batch)
+        np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
