@@ -22,6 +22,11 @@ def _symbols(species):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run_dir", type=str, required=True)
+    p.add_argument("--method", type=str, default="atom_pair",
+                   choices=("atom_pair", "morgan"),
+                   help="fingerprint family: atom_pair (ref "
+                        "GetAtomPairFingerprint) or morgan (ref "
+                        "GetMorganGenerator radius=2 circular/ECFP)")
     args = p.parse_args(argv)
 
     results = load_results(args.run_dir)
@@ -32,7 +37,8 @@ def main(argv=None):
         g = trim(results["generated_pos"], results["mask"], i)
         sp_o = _symbols(trim(results["original_species"], results["mask"], i))
         sp_g = _symbols(trim(results["generated_species"], results["mask"], i))
-        sims.append(fingerprint_similarity(o, sp_o, g, sp_g))
+        sims.append(fingerprint_similarity(o, sp_o, g, sp_g,
+                                           method=args.method))
     sims = np.asarray(sims)
 
     import matplotlib
@@ -44,7 +50,7 @@ def main(argv=None):
     ax.hist(sims, bins=30, range=(0, 1))
     ax.set_xlabel("tanimoto similarity")
     ax.set_ylabel("count")
-    ax.set_title(f"atom-pair fingerprint similarity "
+    ax.set_title(f"{args.method} fingerprint similarity "
                  f"(mean {sims.mean():.4f})")
     logger.log_figure("fingerprint_similarity", fig)
     plt.close(fig)

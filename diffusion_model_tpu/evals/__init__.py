@@ -16,6 +16,7 @@ from diffusion_model_tpu.evals.density import o_density, density_accuracy
 from diffusion_model_tpu.evals.fingerprint import (
     guess_bonds,
     atom_pair_fingerprint,
+    morgan_fingerprint,
     tanimoto_similarity,
     fingerprint_similarity,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "density_accuracy",
     "guess_bonds",
     "atom_pair_fingerprint",
+    "morgan_fingerprint",
     "tanimoto_similarity",
     "fingerprint_similarity",
     "local_descriptor",

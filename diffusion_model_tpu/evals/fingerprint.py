@@ -80,10 +80,69 @@ def tanimoto_similarity(fp1: dict, fp2: dict) -> float:
     return num / den if den else 1.0
 
 
+_ATOMIC_NUMBER = {"O": 8, "Si": 14, "Al": 13, "F": 9}
+
+
+def _fnv_hash(items) -> int:
+    """Deterministic 32-bit FNV-1a over a tuple of ints (Python's ``hash``
+    of strings is salted per process, which would make fingerprints
+    irreproducible across runs)."""
+    h = 2166136261
+    for v in items:
+        v = int(v) & 0xFFFFFFFF
+        for _ in range(4):
+            h ^= v & 0xFF
+            h = (h * 16777619) & 0xFFFFFFFF
+            v >>= 8
+    return h
+
+
+def morgan_fingerprint(pos: np.ndarray, symbols: list, radius: int = 2,
+                       fp_size: int = 2048, threshold: float = 1.2) -> dict:
+    """Morgan/ECFP-style circular fingerprint on the guessed bond graph.
+
+    Native analogue of RDKit's ``GetMorganGenerator(radius=2, fpSize=2048)``
+    used by the reference (ref evaluate_fingerprint.py:87-93): each atom
+    starts from an invariant of (atomic number, degree), then ``radius``
+    rounds of iterated neighborhood hashing fold the sorted neighbor
+    identifiers into a new identifier. All identifiers seen at every radius
+    are folded modulo ``fp_size`` into a count map (count-Tanimoto scoring
+    also covers RDKit's bit-vector Tanimoto up to folding collisions).
+    """
+    adj = guess_bonds(pos, symbols, threshold)
+    n = len(symbols)
+    neighbors = [np.nonzero(adj[i])[0] for i in range(n)]
+    ids = [
+        _fnv_hash((_ATOMIC_NUMBER[symbols[i]], len(neighbors[i])))
+        for i in range(n)
+    ]
+    fp: dict = {}
+    for i in ids:
+        fp[i % fp_size] = fp.get(i % fp_size, 0) + 1
+    for _ in range(radius):
+        new_ids = [
+            _fnv_hash((ids[i],) + tuple(sorted(ids[j] for j in neighbors[i])))
+            for i in range(n)
+        ]
+        for i in new_ids:
+            fp[i % fp_size] = fp.get(i % fp_size, 0) + 1
+        ids = new_ids
+    return fp
+
+
 def fingerprint_similarity(pos1, symbols1, pos2, symbols2,
-                           threshold: float = 1.2) -> float:
+                           threshold: float = 1.2,
+                           method: str = "atom_pair") -> float:
     """End-to-end equivalent of ``eval_by_xyz``
-    (ref evaluate_fingerprint.py:96-113)."""
-    fp1 = atom_pair_fingerprint(pos1, symbols1, threshold)
-    fp2 = atom_pair_fingerprint(pos2, symbols2, threshold)
+    (ref evaluate_fingerprint.py:96-113). ``method`` selects the fingerprint
+    family: "atom_pair" (ref ``GetAtomPairFingerprint``) or "morgan"
+    (ref ``GetMorganGenerator`` circular/ECFP)."""
+    if method == "morgan":
+        fp1 = morgan_fingerprint(pos1, symbols1, threshold=threshold)
+        fp2 = morgan_fingerprint(pos2, symbols2, threshold=threshold)
+    elif method == "atom_pair":
+        fp1 = atom_pair_fingerprint(pos1, symbols1, threshold)
+        fp2 = atom_pair_fingerprint(pos2, symbols2, threshold)
+    else:
+        raise ValueError(f"unknown fingerprint method: {method!r}")
     return tanimoto_similarity(fp1, fp2)

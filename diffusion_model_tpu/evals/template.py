@@ -6,11 +6,14 @@ target, find the best-3 reference structures by spectrum MSE, then score
 structural similarity by cosine similarity of a rotation-invariant local
 descriptor of the exO environment.
 
-The reference uses dscribe's SOAP (r_cut=8, n_max=15, l_max=10); this image
-has no dscribe, so the descriptor is a native rotation-invariant analogue
-computed on device: per species-pair Gaussian-smeared radial distribution
-(radial basis) concatenated with a bond-angle histogram at exO — capturing
-the same two-body + three-body shell structure SOAP's power spectrum encodes.
+Two descriptors are available:
+  * ``descriptor="soap"`` — a native implementation of the SOAP power
+    spectrum itself (evals/soap.py) with the reference's settings
+    (ref template_matching.py:41: r_cut=8, n_max=15, l_max=10, sigma=0.1),
+    so similarity scores are comparable to the reference's dscribe output.
+  * ``descriptor="histogram"`` — a cheaper rotation-invariant analogue
+    computed on device: per species-pair Gaussian-smeared radial
+    distribution concatenated with a bond-angle histogram at exO.
 """
 
 from __future__ import annotations
@@ -71,26 +74,36 @@ def _cos(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def template_match(target_graphs: list, reference_graphs: list,
-                   best_k: int = 3) -> dict:
+                   best_k: int = 3, descriptor: str = "histogram") -> dict:
     """For each target graph dict, the best-k reference matches by spectrum
     MSE, each scored with descriptor cosine similarity
     (ref template_matching.py:42-68; self-matches by id excluded).
 
+    ``descriptor``: "histogram" (fast on-device analogue) or "soap" (the
+    reference's actual SOAP power spectrum, evals/soap.py).
+
     Returns {target_id: [{ref_id: [mse, similarity]}, ...]}.
     """
-    desc_fn = jax.jit(local_descriptor, static_argnames=())
+    if descriptor == "soap":
+        from diffusion_model_tpu.evals.soap import soap_descriptor
+
+        def desc_fn(pos, species):
+            return soap_descriptor(np.asarray(pos), np.asarray(species))
+    elif descriptor == "histogram":
+        _jit = jax.jit(local_descriptor, static_argnames=())
+
+        def desc_fn(pos, species):
+            return _jit(jnp.asarray(pos), jnp.asarray(species))
+    else:
+        raise ValueError(f"unknown descriptor: {descriptor!r}")
     ref_desc = {
-        g["id"]: np.asarray(
-            desc_fn(jnp.asarray(g["pos"]), jnp.asarray(g["species"]))
-        )
+        g["id"]: np.asarray(desc_fn(g["pos"], g["species"]))
         for g in reference_graphs
     }
     results: dict = {}
     for tg in target_graphs:
         t_spec = np.asarray(tg["spectrum"][0])
-        t_desc = np.asarray(
-            desc_fn(jnp.asarray(tg["pos"]), jnp.asarray(tg["species"]))
-        )
+        t_desc = np.asarray(desc_fn(tg["pos"], tg["species"]))
         scored = []
         for rg in reference_graphs:
             if rg["id"] == tg["id"]:

@@ -17,6 +17,7 @@ from diffusion_model_tpu.evals import (
     fingerprint_similarity,
     hungarian_align,
     local_descriptor,
+    morgan_fingerprint,
     o_density,
     per_graph_group_means,
     permutation_min_rmsd,
@@ -190,6 +191,53 @@ class TestFingerprint:
         assert tanimoto_similarity({("O", "Si", 1): 2},
                                    {("O", "Si", 1): 1}) == 0.5
         assert tanimoto_similarity({}, {}) == 1.0
+
+
+class TestMorganFingerprint:
+    def _structure(self, rng):
+        ds = synthetic_sio2_dataset(3, 1, n_max=16, spectrum_size=8,
+                                    shells=2)
+        g = ds[0]
+        symbols = ["Si" if s[1] > 0.5 else "O" for s in g["species"]]
+        return g["pos"], symbols
+
+    def test_identity_and_determinism(self, rng):
+        pos, symbols = self._structure(rng)
+        fp1 = morgan_fingerprint(pos, symbols)
+        fp2 = morgan_fingerprint(pos, symbols)
+        assert fp1 == fp2 and len(fp1) > 0
+        assert fingerprint_similarity(pos, symbols, pos, symbols,
+                                      method="morgan") == 1.0
+
+    def test_rotation_and_permutation_invariant(self, rng):
+        pos, symbols = self._structure(rng)
+        rot = random_rotation(rng)
+        assert morgan_fingerprint(pos @ rot.T, symbols) == \
+            morgan_fingerprint(pos, symbols)
+        perm = rng.permutation(len(symbols))
+        assert morgan_fingerprint(pos[perm],
+                                  [symbols[i] for i in perm]) == \
+            morgan_fingerprint(pos, symbols)
+
+    def test_counts_total(self, rng):
+        # every atom contributes one identifier per radius level (0..2)
+        pos, symbols = self._structure(rng)
+        fp = morgan_fingerprint(pos, symbols, radius=2)
+        assert sum(fp.values()) == 3 * len(symbols)
+
+    def test_topology_change_reduces_similarity(self, rng):
+        pos, symbols = self._structure(rng)
+        sim = fingerprint_similarity(pos, symbols, pos * 1.8, symbols,
+                                     method="morgan")
+        assert sim < 1.0
+
+    def test_environment_sensitivity_beyond_degree(self):
+        # two 3-atom chains with identical degree sequences but different
+        # composition at radius 1: O-Si-O vs Si-O-Si
+        pos = np.array([[0.0, 0, 0], [1.6, 0, 0], [3.2, 0, 0]])
+        fp_osio = morgan_fingerprint(pos, ["O", "Si", "O"])
+        fp_sios = morgan_fingerprint(pos, ["Si", "O", "Si"])
+        assert fp_osio != fp_sios
 
 
 class TestTemplate:
