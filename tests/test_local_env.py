@@ -1,0 +1,131 @@
+"""Min-image bonded-environment extraction tests (data/local_env.py).
+
+Property test: on a periodic cell, the MIC extractor must agree exactly
+with the brute-force oracle — a 3x3x3 supercell expansion with plain
+cartesian distances around the central image's exO (the construction the
+reference's make_dataset.py uses, and pymatgen replicates internally).
+Covers the parity targets of ref data_preparation.py:126-174 and :248-282.
+"""
+
+import numpy as np
+import pytest
+
+from diffusion_model_tpu.data.cell import (
+    CellStructure,
+    lattice_from_parameters,
+    supercell_333,
+)
+from diffusion_model_tpu.data.local_env import (
+    COVALENT_RADII,
+    bonded_neighbors,
+    ex_o_vectors,
+    local_env_coords,
+    mic_vectors,
+)
+
+LATTICES = {
+    "cubic": lattice_from_parameters(6.0, 6.0, 6.0, 90, 90, 90),
+    "hexagonal": lattice_from_parameters(6.0, 6.0, 7.0, 90, 90, 120),
+    "triclinic": lattice_from_parameters(6.0, 6.5, 7.0, 80, 95, 100),
+}
+
+
+def _random_cell(rng, lattice, n_si=6, n_o=8):
+    frac = rng.uniform(0, 1, size=(1 + n_si + n_o, 3))
+    species = ["O"] + ["Si"] * n_si + ["O"] * n_o
+    return CellStructure(lattice=lattice, frac_coords=frac,
+                         species=species, exo_index=0)
+
+
+def _supercell_bonds(struct, scale=1.2):
+    """Oracle: non-periodic covalent-radius bonds around the central exO of
+    the 3x3x3 supercell, as sorted (symbol, vector) pairs."""
+    sup = supercell_333(struct)
+    cart = sup.cart_coords
+    center = cart[sup.exo_index]
+    r_c = COVALENT_RADII[sup.species[sup.exo_index]]
+    out = []
+    for j in range(sup.num_sites):
+        if j == sup.exo_index:
+            continue
+        v = cart[j] - center
+        d = np.linalg.norm(v)
+        if d < scale * (r_c + COVALENT_RADII[sup.species[j]]):
+            out.append((sup.species[j], v))
+    return sorted(out, key=lambda t: (np.linalg.norm(t[1]), t[0]))
+
+
+@pytest.mark.parametrize("lattice_name", sorted(LATTICES))
+class TestAgainstSupercellOracle:
+    def test_bonded_neighbors_match(self, lattice_name, rng):
+        lattice = LATTICES[lattice_name]
+        found_any = False
+        for seed in range(8):
+            local_rng = np.random.default_rng(seed)
+            struct = _random_cell(local_rng, lattice)
+            got = [
+                (sym, v)
+                for _, sym, v in bonded_neighbors(struct, struct.exo_index)
+            ]
+            want = _supercell_bonds(struct)
+            assert len(got) == len(want)
+            found_any = found_any or len(got) > 0
+            for (sym_g, v_g), (sym_w, v_w) in zip(got, want):
+                assert sym_g == sym_w
+                np.testing.assert_allclose(v_g, v_w, atol=1e-9)
+        assert found_any  # the cells are dense enough that bonds exist
+
+    def test_boundary_crossing_bond(self, lattice_name, rng):
+        # exO at a corner, Si just across the periodic boundary: the raw
+        # cartesian distance is huge, the MIC distance is a bond
+        lattice = LATTICES[lattice_name]
+        struct = CellStructure(
+            lattice=lattice,
+            frac_coords=np.array([[0.01, 0.01, 0.01],
+                                  [0.99, 0.99, 0.99],
+                                  [0.5, 0.5, 0.5]]),
+            species=["O", "Si", "Si"],
+            exo_index=0,
+        )
+        raw = np.linalg.norm(struct.cart_coords[1] - struct.cart_coords[0])
+        nbrs = bonded_neighbors(struct, 0)
+        want = _supercell_bonds(struct)
+        assert len(nbrs) == len(want)
+        if want:  # the wrap makes the bond visible only through MIC
+            d = np.linalg.norm(nbrs[0][2])
+            assert d < raw
+
+
+class TestApiParity:
+    def _sio4(self):
+        # exO bonded to two Si across the boundary, one O too far
+        return CellStructure(
+            lattice=lattice_from_parameters(6.0, 6.0, 6.0, 90, 90, 90),
+            frac_coords=np.array([[0.0, 0.0, 0.0],
+                                  [0.25, 0.0, 0.0],
+                                  [0.75, 0.0, 0.0],
+                                  [0.0, 0.5, 0.0]]),
+            species=["O", "Si", "Si", "O"],
+            exo_index=0,
+        )
+
+    def test_ex_o_vectors_layout(self):
+        out = ex_o_vectors(self._sio4())
+        assert {d["index"] for d in out} == {1, 2}
+        assert all(d["species"] == "Si" for d in out)
+        vecs = sorted(float(d["vector"][0]) for d in out)
+        np.testing.assert_allclose(vecs, [-1.5, 1.5], atol=1e-9)
+
+    def test_local_env_coords_layout(self):
+        env = local_env_coords(self._sio4())
+        np.testing.assert_allclose(env["O:ex"], [[0, 0, 0]])
+        assert len(env["Si"]) == 2
+        assert env["O"] == []   # unbonded species stays an empty list
+
+    def test_mic_vectors_self_zero(self):
+        struct = self._sio4()
+        v = mic_vectors(struct, 0)
+        np.testing.assert_allclose(v[0], 0.0)
+        # all MIC vectors lie within the half-cell ball
+        frac = v @ np.linalg.inv(struct.lattice)
+        assert np.all(np.abs(frac) <= 0.5 + 1e-12)
