@@ -45,7 +45,11 @@ def main():
 
     def timed(cfg_v):
         run = jax.jit(lambda key: sample(fn, schedule, cfg_v, key, cond))
-        jax.block_until_ready(run(jax.random.key(1)))  # compile + warm-up
+        # compile + warm-up; the host transfer is load-bearing: on the axon
+        # tunnel block_until_ready is a no-op until the remote compile has
+        # landed, so np.asarray is the only reliable "compile finished"
+        import numpy as np
+        np.asarray(jax.tree.leaves(run(jax.random.key(1)))[0])
         times = []
         for i in range(3):
             t_start = time.perf_counter()

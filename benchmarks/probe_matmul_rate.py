@@ -68,6 +68,34 @@ def xla_chain(dtype, acc_dtype):
     return call
 
 
+def pallas_chain_ilp(dtype, acc_dtype, ilp=4):
+    """ilp independent serial chains per iteration — fills the MXU pipeline
+    (a single dependent chain is latency-bound and underestimates peak)."""
+    def kernel(a_ref, w_ref, out_ref):
+        def body(_, xs):
+            outs = [jax.lax.dot_general(
+                x, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype) for x in xs]
+            return tuple(_requant(o, dtype) for o in outs)
+
+        xs = tuple(a_ref[pl.ds(i * (M // ilp), M // ilp), :]
+                   for i in range(ilp))
+        final = jax.lax.fori_loop(0, K_INNER, body, xs)
+        for i in range(ilp):
+            out_ref[pl.ds(i * (M // ilp), M // ilp), :] = final[i]
+
+    def call(a, w):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((M, N), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(a, w)
+
+    return call
+
+
 def time_variant(name, call, a, w):
     @jax.jit
     def run(a, w):
@@ -113,6 +141,10 @@ def main():
                  a_bf, w_bf)
     time_variant("pallas_int8", pallas_chain(jnp.int8, jnp.int32),
                  a_i8, w_i8)
+    time_variant("pallas_bf16_ilp4",
+                 pallas_chain_ilp(jnp.bfloat16, jnp.float32), a_bf, w_bf)
+    time_variant("pallas_int8_ilp4",
+                 pallas_chain_ilp(jnp.int8, jnp.int32), a_i8, w_i8)
 
 
 if __name__ == "__main__":

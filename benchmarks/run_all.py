@@ -10,6 +10,7 @@ real multi-chip slice.
   3. batched generation: 256 structures per call + on-device RDF eval
   4. large cell (1024 atoms) via fixed-degree kNN lists
   5. data-parallel train step + sharded generation over the device mesh
+  6. 1024-atom topology comparison: dense vs kNN vs ring peak-memory/time
 """
 
 from __future__ import annotations
@@ -46,7 +47,10 @@ def _setup(cfg, graphs):
 
 
 def _time(fn, *args, repeats=3):
-    jax.block_until_ready(fn(*args))
+    # axon quirk: block_until_ready is a no-op while the remote compile is
+    # still in flight, so force a host transfer to truly finish the warmup;
+    # afterwards block_until_ready works and keeps the timed loop cheap.
+    np.asarray(jax.tree.leaves(fn(*args))[0])
     times = []
     for _ in range(repeats):
         t = time.perf_counter()
@@ -178,12 +182,87 @@ def config5():
           structures_per_sec=round(cfg.batch_size / t_gen, 1))
 
 
+def config6():
+    """N=1024 topology comparison: dense vs kNN-32 vs ring (SURVEY §2.6).
+
+    Demonstrates the large-cell story: the dense pair tensor is O(N^2 * F)
+    per chip while the ring shards it O(N * N/D * F) per device. Peak
+    memory comes from the compiled executable's buffer assignment
+    (``memory_analysis``), timing from the usual warm loop. The ring row
+    appears when >1 device is visible (8-CPU mesh or a real slice); dense
+    is compile-analysed only when its peak fits the chip.
+    """
+    from diffusion_model_tpu.data.synthetic import amorphous_cell
+    from diffusion_model_tpu.parallel import make_mesh
+    from diffusion_model_tpu.parallel.ring import ring_denoise_fn
+
+    n = 1024
+    cell = amorphous_cell(seed=0, num_atoms=n, spectrum_size=200)
+    out = {}
+
+    def mem_and_time(fn, *args, run_if_mb=10_000):
+        lowered = jax.jit(fn).lower(*args)
+        compiled = lowered.compile()
+        stats = compiled.memory_analysis()
+        peak_mb = stats.peak_memory_in_bytes / 2**20
+        t = None
+        # time only on real hardware (the CPU mesh is for memory analysis;
+        # a 1024-atom dense forward takes minutes of host compute)
+        if peak_mb < run_if_mb and jax.default_backend() != "cpu":
+            t = _time(compiled, *args)
+        return peak_mb, t
+
+    def fwd_args(cfg, batch):
+        b, nn_ = batch.mask.shape
+        t_norm = jnp.full((b, nn_, 1), 0.5) * batch.mask[..., None]
+        return (batch.species, batch.pos, batch.spectrum, batch.exo,
+                t_norm, batch.mask)
+
+    # dense (reference topology): peak is the O(N^2 * F1) edge tensor
+    cfg_d = _flagship_cfg(n_max=n, batch_size=1)
+    trainer, state, batch = _setup(cfg_d, [cell])
+    args_d = fwd_args(cfg_d, batch) + (batch.pair_mask(),)
+    peak, t = mem_and_time(trainer.denoise_fn(state.params), *args_d)
+    out["dense_peak_mb"] = round(peak, 1)
+    if t is not None:
+        out["dense_forward_ms"] = round(t * 1000, 2)
+
+    # kNN-32 (single-chip large-cell mode)
+    cfg_k = _flagship_cfg(n_max=n, neighbor_k=32, batch_size=1)
+    trainer_k, state_k, batch_k = _setup(cfg_k, [cell])
+    from diffusion_model_tpu.ops.edges import knn_edges
+
+    def knn_fwd(species, pos, spectrum, exo, t_norm, mask):
+        edges = knn_edges(pos, mask, cfg_k.neighbor_k)
+        return trainer_k.denoise_fn(state_k.params)(
+            species, pos, spectrum, exo, t_norm, mask, edges)
+
+    peak, t = mem_and_time(knn_fwd, *fwd_args(cfg_k, batch_k))
+    out["knn32_peak_mb"] = round(peak, 1)
+    if t is not None:
+        out["knn32_forward_ms"] = round(t * 1000, 2)
+
+    # ring over the mesh (explicit ppermute; O(N * N/D * F1) per device)
+    ndev = len(jax.devices())
+    if ndev > 1:
+        mesh = make_mesh()
+        ring = ring_denoise_fn(cfg_d, state.params, mesh)
+        a = fwd_args(cfg_d, batch)
+        ring_args = tuple(x[0] for x in a)
+        peak, t = mem_and_time(ring, *ring_args)
+        out["ring_devices"] = ndev
+        out["ring_peak_mb_per_device"] = round(peak / ndev, 1)
+        if t is not None:
+            out["ring_forward_ms"] = round(t * 1000, 2)
+    _emit("6_topology_1024atoms", **out)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--configs", type=str, default="1,2,3,4,5")
+    p.add_argument("--configs", type=str, default="1,2,3,4,5,6")
     args = p.parse_args()
     fns = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5}
+           "5": config5, "6": config6}
     for c in args.configs.split(","):
         fns[c.strip()]()
 

@@ -34,6 +34,8 @@ def main():
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--noise_schedule", type=str, default="predefined",
+                   choices=("predefined", "learned"))
     args = p.parse_args()
 
     from diffusion_model_tpu import api
@@ -60,6 +62,7 @@ def main():
         num_epochs=args.epochs,
         optimizer="RAdamScheduleFree",
         compute_dtype="bfloat16",
+        noise_schedule=args.noise_schedule,
     )
     print(f"devices: {jax.devices()}", flush=True)
     graphs = synthetic_sio2_dataset(cfg.seed, args.num, cfg.n_max,
@@ -133,6 +136,7 @@ def main():
             plt.close(fig)
 
     out = {
+        "noise_schedule": cfg.noise_schedule,
         "train_seconds": round(train_s, 1),
         "generate_seconds": round(gen_s, 1),
         "num_conditions": len(test_set),

@@ -14,10 +14,11 @@ from diffusion_model_tpu.parallel.ring import ring_denoise_fn
 
 
 class TestRing:
-    @pytest.mark.parametrize("zero_init", [False])
-    def test_matches_dense_oracle(self, rng, zero_init):
+    @pytest.mark.parametrize("zero_init", [True, False])
+    @pytest.mark.parametrize("n_max,num_atoms", [(32, 29), (256, 250)])
+    def test_matches_dense_oracle(self, rng, zero_init, n_max, num_atoms):
         cfg = Config(
-            n_max=32, L=2, m_hidden_size=32, h_hidden_size=32,
+            n_max=n_max, L=2, m_hidden_size=32, h_hidden_size=32,
             x_hidden_size=32, m_size=16, spectrum_size=16,
             compressed_spectrum_size=8, compressor_hidden_dim=(8,),
             zero_init_x=zero_init,
@@ -25,9 +26,9 @@ class TestRing:
         mesh = make_mesh()
         assert mesh.devices.size == 8
 
-        cell = amorphous_cell(seed=1, num_atoms=29,
+        cell = amorphous_cell(seed=1, num_atoms=num_atoms,
                               spectrum_size=cfg.spectrum_size)
-        batch = collate([cell], cfg.n_max)  # 29 real + 3 padded, N=32
+        batch = collate([cell], cfg.n_max)  # real + padded rows
         b, n = batch.mask.shape
         t_norm = jnp.full((b, n, 1), 0.4) * batch.mask[..., None]
         species = jnp.asarray(rng.normal(size=(b, n, 2)), jnp.float32)
