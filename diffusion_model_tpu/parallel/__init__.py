@@ -1,4 +1,5 @@
 from diffusion_model_tpu.parallel.mesh import (
+    make_hybrid_mesh,
     make_mesh,
     shard_graph_batch,
     replicate,
@@ -7,6 +8,7 @@ from diffusion_model_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "make_hybrid_mesh",
     "make_mesh",
     "shard_graph_batch",
     "replicate",

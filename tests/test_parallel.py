@@ -143,3 +143,78 @@ class TestApiMeshTraining:
         losses = [r for r in recs if "train_loss" in r]
         assert len(losses) == 2
         assert all(np.isfinite(r["train_loss"]) for r in losses)
+
+
+class TestHybridMesh:
+    """Multi-slice (DCN x ICI) mesh layouts on the 8-CPU fallback grid."""
+
+    def test_hybrid_dp_matches_single_device(self):
+        from diffusion_model_tpu.parallel import make_hybrid_mesh
+
+        hmesh = make_hybrid_mesh(dcn_replicas=2)
+        assert hmesh.axis_names == ("replica", "data")
+        assert hmesh.devices.shape == (2, 4)
+
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        data = synthetic_sio2_dataset(3, 8, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        batch = next(batch_iterator(data, 8, cfg.n_max))
+        state = trainer.init_state(jax.random.key(0), batch)
+        s1, m1 = trainer.train_step(state, jax.random.key(1), batch)
+
+        sharded = shard_graph_batch(batch, hmesh, mode="dp")
+        # batch axis sharded over BOTH axes: 8 single-graph shards
+        shards = [s.data.shape for s in sharded.pos.addressable_shards]
+        assert len(shards) == 8 and all(s[0] == 1 for s in shards)
+        state_r = jax.device_put(state, replicate(hmesh))
+        s2, m2 = trainer.train_step(state_r, jax.random.key(1), sharded)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  rel=1e-4)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_dp_node_layout_forward_matches(self):
+        """Batch over 'replica' (DCN), nodes over 'data' (ICI): the
+        large-cell multi-slice layout. Forward parity vs unsharded."""
+        from diffusion_model_tpu.parallel import make_hybrid_mesh
+
+        hmesh = make_hybrid_mesh(dcn_replicas=2)
+        cfg = tiny_cfg(batch_size=2, n_max=16)
+        trainer = Trainer(cfg)
+        data = synthetic_sio2_dataset(5, 2, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        batch = next(batch_iterator(data, 2, cfg.n_max))
+        state = trainer.init_state(jax.random.key(0), batch)
+        fn = trainer.denoise_fn(state.params)
+        b, n = batch.mask.shape
+        t_norm = jnp.full((b, n, 1), 0.5) * batch.mask[..., None]
+        args = (batch.species, batch.pos, batch.spectrum, batch.exo,
+                t_norm, batch.mask, batch.pair_mask())
+        want_x, want_h = jax.jit(fn)(*args)
+
+        sharded = shard_graph_batch(batch, hmesh, mode="dp_node")
+        shards = [s.data.shape for s in sharded.pos.addressable_shards]
+        assert len(shards) == 8 and all(s[:2] == (1, 4) for s in shards)
+        t_s = jax.device_put(
+            t_norm, jax.sharding.NamedSharding(hmesh, P("replica", "data")))
+        pm_s = jax.device_put(
+            batch.pair_mask(),
+            jax.sharding.NamedSharding(hmesh, P("replica", "data")))
+        got_x, got_h = jax.jit(fn)(
+            sharded.species, sharded.pos, sharded.spectrum, sharded.exo,
+            t_s, sharded.mask, pm_s)
+        np.testing.assert_allclose(np.asarray(want_x), np.asarray(got_x),
+                                   rtol=3e-4, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(want_h), np.asarray(got_h),
+                                   rtol=3e-4, atol=3e-5)
+
+    def test_dp_node_requires_hybrid_mesh(self):
+        cfg = tiny_cfg()
+        data = synthetic_sio2_dataset(3, 8, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        batch = next(batch_iterator(data, 8, cfg.n_max))
+        with pytest.raises(ValueError):
+            shard_graph_batch(batch, make_mesh(), mode="dp_node")
