@@ -8,13 +8,20 @@ The reference publishes no numbers (BASELINE.md); the driver's north-star
 target is <2 s for this workload on one v5e chip, i.e. a baseline rate of
 192 * 1000 / 2 = 96_000 atoms*steps/sec. ``vs_baseline`` is measured rate /
 that target rate (>1 beats the target).
+
+``--run_dir <dir>`` benches a *trained* checkpoint instead of random-init
+parameters (same architecture — EGNN parameters are independent of the
+padded node count, so quality-run checkpoints load directly); the JSON
+line then carries "params": "trained:<dir>".
 """
 
+import argparse
 import json
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -23,6 +30,12 @@ def main():
     from diffusion_model_tpu.data.synthetic import amorphous_cell
     from diffusion_model_tpu.diffusion import predefined_schedule, sample
     from diffusion_model_tpu.nn import DiffusionDenoiser
+    from diffusion_model_tpu.train import Trainer
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", type=str, default=None,
+                   help="bench a trained checkpoint from this run dir")
+    args = p.parse_args()
 
     n_atoms = 192
     steps = 1000
@@ -33,22 +46,41 @@ def main():
                           spectrum_size=cfg.spectrum_size)
     cond = next(batch_iterator([cell], 1, cfg.n_max))
 
-    model = DiffusionDenoiser(cfg)
-    b, n = cond.mask.shape
-    t0 = jnp.full((b, n, 1), 0.5) * cond.mask[..., None]
-    params = model.init(
-        jax.random.key(0), cond.species, cond.pos, cond.spectrum, cond.exo,
-        t0, cond.mask, cond.pair_mask(),
-    )
-    fn = lambda *a: model.apply(params, *a)
-    schedule = predefined_schedule(cfg)
+    if args.run_dir:
+        import os
+
+        from diffusion_model_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), cond)
+        ckpt_dir = os.path.join(os.path.abspath(args.run_dir),
+                                "checkpoints")
+        state, _ = restore_checkpoint(ckpt_dir, state,
+                                      step=latest_step(ckpt_dir))
+        eval_params = state.eval_params(cfg)
+        fn = trainer.denoise_fn(eval_params)
+        schedule = trainer.schedule_for(eval_params)
+        params_src = f"trained:{args.run_dir}"
+    else:
+        model = DiffusionDenoiser(cfg)
+        b, n = cond.mask.shape
+        t0 = jnp.full((b, n, 1), 0.5) * cond.mask[..., None]
+        params = model.init(
+            jax.random.key(0), cond.species, cond.pos, cond.spectrum,
+            cond.exo, t0, cond.mask, cond.pair_mask(),
+        )
+        fn = lambda *a: model.apply(params, *a)
+        schedule = predefined_schedule(cfg)
+        params_src = "random-init"
 
     def timed(cfg_v):
         run = jax.jit(lambda key: sample(fn, schedule, cfg_v, key, cond))
         # compile + warm-up; the host transfer is load-bearing: on the axon
         # tunnel block_until_ready is a no-op until the remote compile has
         # landed, so np.asarray is the only reliable "compile finished"
-        import numpy as np
         np.asarray(jax.tree.leaves(run(jax.random.key(1)))[0])
         times = []
         for i in range(3):
@@ -73,6 +105,7 @@ def main():
         "structures_per_hour": round(3600.0 / best, 1),
         "strided_250_seconds_per_structure": round(strided, 3),
         "strided_250_structures_per_hour": round(3600.0 / strided, 1),
+        "params": params_src,
     }))
 
 

@@ -3,8 +3,10 @@
 Consumes the exact parameter pytree produced by ``DiffusionDenoiser.init``
 (flax stays the source of truth for init/training); this path re-implements
 the forward walk with the per-edge work dispatched to
-``ops.egcl_pallas.egcl_pair_kernel``. Used for sampling (forward-only); the
-XLA dense path remains the correctness oracle and the training path.
+``ops.egcl_pallas.egcl_pair_edges`` — differentiable (custom VJP with the
+XLA dense-math backward), so both sampling and gradient-carrying uses (e.g.
+Kabsch-loss reverse chains) can run it. The XLA dense path remains the
+correctness oracle and the default (it measured faster — docs/ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ import jax.numpy as jnp
 
 from diffusion_model_tpu.config import Config
 from diffusion_model_tpu.ops.com import remove_mean
-from diffusion_model_tpu.ops.egcl_pallas import egcl_pair_kernel
+from diffusion_model_tpu.ops.egcl_pallas import egcl_pair_edges
 
 
 def _dense(p, v):
@@ -97,12 +99,12 @@ def fast_denoise_fn(cfg: Config, denoiser_params,
             am_j = h_c @ lp["m_wj"]
             ax_i = h_c @ lp["x_wi"] + lp["x_b"]
             ax_j = h_c @ lp["x_wj"]
-            m_sum, x_new = egcl_pair_kernel(
+            m_sum, x_new = egcl_pair_edges(
                 am_i, am_j, ax_i, ax_j, x.astype(jnp.float32),
                 mask3.astype(jnp.float32),
                 lp["m_wd"], lp["x_wd"], lp["w2m"], lp["b2m"], lp["wa"],
                 lp["ba"], lp["w2x"], lp["b2x"], lp["wx3"], lp["bx3"],
-                interpret=interpret,
+                8, interpret,  # positional: custom_vjp nondiff args
             )
             cat = jnp.concatenate([h_c, m_sum.astype(dt)], axis=-1)
             h0 = jax.tree.map(lambda a: a.astype(dt), lp["h0"])

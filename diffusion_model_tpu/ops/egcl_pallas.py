@@ -22,9 +22,14 @@ kernel's MXU work is exactly the two big second-layer matmuls.
 Grid: (B, N/TI, N/TJ) with the j axis innermost; output blocks for (b, i)
 are revisited across j and accumulated in VMEM (init at j == 0).
 
-Forward-only: the sampler's hot loop needs no gradients; training uses the
-XLA path. The ``compat_scalar_norm`` quirk mode is not supported here (use
-the XLA path for bit-exact reference validation).
+Differentiation: ``egcl_pair_edges`` wraps the kernel in a custom VJP whose
+backward is the exact dense-math gradient evaluated by XLA
+(``_edge_math_dense``). That pairing is deliberate, not a fallback — the
+round-2 probes (benchmarks/probe_kernel_stages.py, docs/ROADMAP.md) measured
+XLA *faster* than Mosaic at these shapes, so Pallas-forward + XLA-backward is
+the optimal differentiable configuration on this toolchain. The
+``compat_scalar_norm`` quirk mode is not supported here (use the XLA path
+for bit-exact reference validation).
 """
 
 from __future__ import annotations
@@ -240,3 +245,78 @@ def egcl_pair_kernel(am_i, am_j, ax_i, ax_j, x, mask, w_dm, w_dx, w2m, b2m,
         ),
     )(am_i, am_j, ax_i, ax_j, x, x, mask, mask, w_dm, w_dx, w2m, b2m,
       wa, ba, w2x, b2x, wx3, bx3)
+
+
+def _edge_math_dense(am_i, am_j, ax_i, ax_j, x, mask, w_dm, w_dx, w2m, b2m,
+                     wa, ba, w2x, b2x, wx3, bx3):
+    """Pure-jnp dense statement of exactly the math the kernel computes
+    (f32). Serves as the backward-pass definition for ``egcl_pair_edges``:
+    its jax.vjp IS the gradient of the layer, evaluated by XLA.
+    """
+    f32 = jnp.float32
+    am_i, am_j, ax_i, ax_j, x = (v.astype(f32)
+                                 for v in (am_i, am_j, ax_i, ax_j, x))
+    b, n, _ = am_i.shape
+    diff = x[:, :, None, :] - x[:, None, :, :]            # [B,N,N,3]
+    d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)     # [B,N,N,1]
+    m3 = mask.astype(f32)                                  # [B,N,1]
+    neq = 1.0 - jnp.eye(n, dtype=f32)[None, :, :, None]
+    pm = m3[:, :, None, :] * m3[:, None, :, :] * neq       # [B,N,N,1]
+
+    def silu(v):
+        return v * jax.nn.sigmoid(v)
+
+    pre_m = (am_i[:, :, None, :] + am_j[:, None, :, :]
+             + d2 * w_dm.astype(f32))
+    m = silu(silu(pre_m) @ w2m.astype(f32) + b2m.astype(f32))
+    att = jax.nn.sigmoid(m @ wa.astype(f32) + ba.astype(f32))
+    m_sum = jnp.sum(m * att * pm, axis=2)                  # [B,N,Fm]
+
+    pre_x = (ax_i[:, :, None, :] + ax_j[:, None, :, :]
+             + d2 * w_dx.astype(f32))
+    u = silu(silu(pre_x) @ w2x.astype(f32) + b2x.astype(f32))
+    s = u @ wx3.astype(f32) + bx3.astype(f32)              # [B,N,N,1]
+    norm = jnp.sqrt(jnp.where(pm > 0, jnp.maximum(d2, 1e-12), 1.0))
+    upd = diff * s / (norm + 1.0) * pm
+    x_out = x + jnp.sum(upd, axis=2)
+    return m_sum, x_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17))
+def egcl_pair_edges(am_i, am_j, ax_i, ax_j, x, mask, w_dm, w_dx, w2m, b2m,
+                    wa, ba, w2x, b2x, wx3, bx3, ti=8, interpret=False):
+    """Differentiable fused EGCL edge computation.
+
+    Forward = the Pallas kernel (``egcl_pair_kernel``); backward = the
+    XLA-evaluated gradient of ``_edge_math_dense`` (bit-identical math in
+    f32; the forward/backward pairing is measured-optimal on this
+    toolchain — see module docstring). Gradients flow to every tensor
+    argument, so training configurations that drive full reverse chains
+    (e.g. the Kabsch loss) can enable the kernel.
+    """
+    return egcl_pair_kernel(am_i, am_j, ax_i, ax_j, x, mask, w_dm, w_dx,
+                            w2m, b2m, wa, ba, w2x, b2x, wx3, bx3,
+                            ti=ti, interpret=interpret)
+
+
+def _edges_fwd(am_i, am_j, ax_i, ax_j, x, mask, w_dm, w_dx, w2m, b2m,
+               wa, ba, w2x, b2x, wx3, bx3, ti, interpret):
+    out = egcl_pair_kernel(am_i, am_j, ax_i, ax_j, x, mask, w_dm, w_dx,
+                           w2m, b2m, wa, ba, w2x, b2x, wx3, bx3,
+                           ti=ti, interpret=interpret)
+    residuals = (am_i, am_j, ax_i, ax_j, x, mask, w_dm, w_dx, w2m, b2m,
+                 wa, ba, w2x, b2x, wx3, bx3)
+    return out, residuals
+
+
+def _edges_bwd(ti, interpret, residuals, cotangents):
+    _, vjp_fn = jax.vjp(_edge_math_dense, *residuals)
+    grads = vjp_fn(tuple(c.astype(jnp.float32) for c in cotangents))
+    # cast each gradient back to its primal dtype (mask gets a zero grad —
+    # it is data, not a parameter)
+    return tuple(
+        g.astype(r.dtype) for g, r in zip(grads, residuals)
+    )
+
+
+egcl_pair_edges.defvjp(_edges_fwd, _edges_bwd)
