@@ -260,7 +260,14 @@ def config6():
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--configs", type=str, default="1,2,3,4,5,6")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=(None, "cpu", "tpu"),
+                   help="pin the JAX platform; the sandbox sitecustomize "
+                        "overrides JAX_PLATFORMS, so --platform cpu is the "
+                        "only reliable way to run on the virtual CPU mesh")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     fns = {"1": config1, "2": config2, "3": config3, "4": config4,
            "5": config5, "6": config6}
     for c in args.configs.split(","):

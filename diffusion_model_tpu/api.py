@@ -132,6 +132,51 @@ def train(cfg: Config, dataset: list, run_dir: str,
     return trainer, state, (train_set, val_set, test_set)
 
 
+def distill(cfg: Config, trainer: Trainer, state, train_graphs: list,
+            final_steps: int, epochs_per_phase: int = 50,
+            lr: float = 1e-4, key=None, log_fn=print):
+    """Progressively distill the trained model into a ``final_steps``
+    deterministic student (train/distill.py; beyond-reference capability —
+    the reference can only truncate its 1000-step loop).
+
+    Returns ``(student_cfg, student_state)`` drop-in compatible with
+    ``api.generate``: the student cfg pins the dyadic sampling grid
+    (``sample_steps=final_steps, deterministic_sampling=True``) and the
+    state carries the student denoiser (plus the teacher's gamma subtree,
+    so learned-schedule configs keep their schedule table).
+    """
+    from diffusion_model_tpu.train.distill import progressive_distill
+    from diffusion_model_tpu.train.trainer import TrainState
+
+    key = key if key is not None else jax.random.key(cfg.seed + 17)
+    params = state.eval_params(cfg)
+    schedule = trainer.schedule_for(params)
+
+    def batches_fn():
+        return batch_iterator(train_graphs, cfg.batch_size, cfg.n_max,
+                              seed=cfg.seed)
+
+    result = progressive_distill(
+        cfg, trainer.model.apply, params["denoiser"], schedule,
+        batches_fn, key, final_steps=final_steps,
+        epochs_per_phase=epochs_per_phase, lr=lr, log_fn=log_fn,
+    )
+    student_params = dict(params)
+    student_params["denoiser"] = result.params
+    # optimizer="Adam" => TrainState.eval_params is the identity (the
+    # student has no schedule-free averaging state to resolve)
+    student_cfg = cfg.replace(
+        sample_steps=result.num_steps,
+        deterministic_sampling=True,
+        optimizer="Adam",
+    )
+    student_state = TrainState(
+        params=student_params, opt_state=None,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return student_cfg, student_state
+
+
 def load_trained(run_dir: str, cfg: Config, example: GraphBatch):
     """Restore the latest checkpoint of a run (generate_only/evaluate_only
     path, ref main.py:236-238)."""

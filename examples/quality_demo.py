@@ -36,6 +36,11 @@ def main():
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--noise_schedule", type=str, default="predefined",
                    choices=("predefined", "learned"))
+    p.add_argument("--n_max", type=int, default=8)
+    p.add_argument("--shells", type=int, default=1,
+                   help="1 = CN Si neighbours only; 2 = + bridging O shell")
+    p.add_argument("--tag", type=str, default=None,
+                   help="config label recorded in the summary JSON")
     args = p.parse_args()
 
     from diffusion_model_tpu import api
@@ -55,7 +60,7 @@ def main():
     import matplotlib.pyplot as plt
 
     cfg = Config(
-        n_max=8,
+        n_max=args.n_max,
         batch_size=args.batch_size,
         lr=args.lr,
         num_diffusion_timestep=args.timesteps,
@@ -66,7 +71,8 @@ def main():
     )
     print(f"devices: {jax.devices()}", flush=True)
     graphs = synthetic_sio2_dataset(cfg.seed, args.num, cfg.n_max,
-                                    spectrum_size=cfg.spectrum_size)
+                                    spectrum_size=cfg.spectrum_size,
+                                    shells=args.shells)
     logger = RunLogger(args.out_dir, cfg)
 
     t0 = time.time()
@@ -136,6 +142,7 @@ def main():
             plt.close(fig)
 
     out = {
+        "config": args.tag or f"{args.epochs}ep_{args.shells}shell_n{args.n_max}",
         "noise_schedule": cfg.noise_schedule,
         "train_seconds": round(train_s, 1),
         "generate_seconds": round(gen_s, 1),
