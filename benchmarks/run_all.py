@@ -246,7 +246,7 @@ def config6():
     ndev = len(jax.devices())
     if ndev > 1:
         mesh = make_mesh()
-        ring = ring_denoise_fn(cfg_d, state.params, mesh)
+        ring = ring_denoise_fn(cfg_d, state.params["denoiser"], mesh)
         a = fwd_args(cfg_d, batch)
         ring_args = tuple(x[0] for x in a)
         peak, t = mem_and_time(ring, *ring_args)

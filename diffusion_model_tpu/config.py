@@ -48,6 +48,14 @@ class Config:
     noise_schedule: str = "predefined"  # "predefined" | "learned"
     noise_precision: float = 1e-5
     noise_schedule_power: float = 2.0
+    # VDM boundary terms for the learned schedule (train/trainer.py): the
+    # plain eps-MSE never samples the endpoints, so nothing stops gamma_0
+    # from settling at a sigma(0) ~ 0.1 noise floor that the t=0 sampling
+    # epilogue then injects into every final coordinate. Weight 0 disables
+    # (reference-faithful but quality-degraded); rec floor = the position
+    # discretisation scale the reconstruction likelihood saturates at.
+    gamma_boundary_weight: float = 1.0
+    gamma_rec_floor: float = 0.01
 
     # --- training (ref parameters.yaml:3,14,17,22,24-26,30) ---
     batch_size: int = 1

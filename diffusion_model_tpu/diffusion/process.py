@@ -138,7 +138,12 @@ def reverse_diffuse_one_step(schedule: Schedule, key, z, eps, t,
         sq_sigma_s = 1.0 - alpha_s**2
         alpha_ts = alpha_t / alpha_s
         sq_sigma_ts = sq_sigma_t - alpha_ts**2 * sq_sigma_s
-        std = jnp.sqrt(sq_sigma_ts * sq_sigma_s / sq_sigma_t)
+        # Learned schedules can be near-flat between adjacent steps, where
+        # sq_sigma_ts is a catastrophic cancellation of two ~equal tiny
+        # numbers and rounds negative — clamp before the sqrt (a flat
+        # segment's posterior noise is genuinely zero).
+        std = jnp.sqrt(jnp.maximum(sq_sigma_ts, 0.0)
+                       * sq_sigma_s / sq_sigma_t)
         noise = _noise_like(key, z, mode, mask)
         out = mu + _bcast(std, z) * noise
     if mask is not None:

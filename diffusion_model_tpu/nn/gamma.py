@@ -43,16 +43,27 @@ class PositiveLinear(nn.Module):
 
 
 class GammaNetwork(nn.Module):
-    """Monotone gamma(t) on t in [0, 1] (ref SNR.py:27-65)."""
+    """Monotone gamma(t) on t in [0, 1] (ref SNR.py:27-65).
+
+    The trainable endpoints are stored PRE-SCALED by ``endpoint_scale``:
+    Adam-family optimizers move every parameter ~lr per step regardless of
+    gradient magnitude, so at lr=2e-4 a raw gamma_0 could traverse only
+    ~±2 over a full 3000-epoch run — not enough to reach the clean-endpoint
+    region (gamma_0 ~ -9 for sigma_0 ~ 1e-2) that the VDM boundary terms
+    (train/trainer.py) ask for. Scaling the stored parameter multiplies the
+    per-step endpoint movement without touching the loss surface shape.
+    """
 
     hidden: int = 1024
+    endpoint_scale: float = 25.0
 
     def setup(self):
         self.l1 = PositiveLinear(1, name="l1")
         self.l2 = PositiveLinear(self.hidden, name="l2")
         self.l3 = PositiveLinear(1, name="l3")
-        self.gamma_0 = self.param("gamma_0", lambda k: jnp.asarray([-5.0]))
-        self.gamma_1 = self.param("gamma_1", lambda k: jnp.asarray([10.0]))
+        s = self.endpoint_scale
+        self.gamma_0 = self.param("gamma_0", lambda k: jnp.asarray([-5.0 / s]))
+        self.gamma_1 = self.param("gamma_1", lambda k: jnp.asarray([10.0 / s]))
 
     def gamma_tilde(self, t: jnp.ndarray) -> jnp.ndarray:
         l1_t = self.l1(t)
@@ -64,4 +75,6 @@ class GammaNetwork(nn.Module):
         g1 = self.gamma_tilde(jnp.ones_like(t))
         gt = self.gamma_tilde(t)
         normalized = (gt - g0) / (g1 - g0)
-        return self.gamma_0 + (self.gamma_1 - self.gamma_0) * normalized
+        gamma_0 = self.gamma_0 * self.endpoint_scale
+        gamma_1 = self.gamma_1 * self.endpoint_scale
+        return gamma_0 + (gamma_1 - gamma_0) * normalized

@@ -128,6 +128,32 @@ class TestEndToEnd:
             for a, b in zip(g0, g1)
         )
 
+    def test_gamma_boundary_drives_sigma0_to_floor(self):
+        """The VDM boundary terms must pull sigma(0) from its ~0.082 init
+        (gamma_0 = -5) toward the reconstruction floor; without them the
+        eps-MSE leaves the endpoint untouched (measured on the flagship:
+        sigma_0 drifted UP to 0.124, rdf_cos 0.53 vs 0.90 predefined)."""
+
+        def sigma0_after(weight, epochs=30):
+            cfg = tiny_cfg(noise_schedule="learned",
+                           gamma_boundary_weight=weight)
+            trainer = Trainer(cfg)
+            batches = make_batches(cfg, num=16)
+            state = trainer.init_state(jax.random.key(0), batches[0])
+            key = jax.random.key(4)
+            for _ in range(epochs):
+                key, sub = jax.random.split(key)
+                state, _ = trainer.train_epoch(state, sub, batches)
+            sched = trainer.schedule_for(state.params)
+            a = np.asarray(sched.alphas)
+            return float(np.sqrt(1.0 - a[0] ** 2)), float(a[-1])
+
+        s0_on, aT_on = sigma0_after(1.0)
+        s0_off, _ = sigma0_after(0.0)
+        assert s0_on < 0.05, (s0_on, s0_off)
+        assert s0_on < 0.75 * s0_off, (s0_on, s0_off)
+        assert aT_on < 0.05  # prior end stays clean
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
