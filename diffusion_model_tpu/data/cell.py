@@ -61,35 +61,105 @@ def lattice_from_parameters(a, b, c, alpha, beta, gamma) -> np.ndarray:
     return np.stack([va, vb, vc])
 
 
-def read_castep_cell(path: str) -> CellStructure:
-    """Parse the reference's coreloss ``.cell`` layout."""
+# CASTEP length units accepted inside lattice/position blocks.
+_UNIT_TO_ANG = {
+    "ANG": 1.0,
+    "BOHR": 0.529177210903,
+    "A0": 0.529177210903,
+    "NM": 10.0,
+}
+
+
+def _parse_blocks(lines) -> dict:
+    """``%BLOCK name`` ... ``%ENDBLOCK name`` sections, case-insensitive,
+    with ``#``/``!`` comments and blank lines stripped. Top-level key-value
+    directives (kpoint grids, symmetry flags, ...) are ignored."""
+    blocks: dict = {}
+    cur, buf = None, []
+    for raw in lines:
+        line = raw.split("#")[0].split("!")[0].strip()
+        if not line:
+            continue
+        upper = line.upper()
+        if upper.startswith("%BLOCK"):
+            cur = upper.split(None, 1)[1].strip() if " " in upper else ""
+            buf = []
+        elif upper.startswith("%ENDBLOCK"):
+            if cur:
+                blocks[cur] = buf
+            cur, buf = None, []
+        elif cur is not None:
+            buf.append(line)
+    return blocks
+
+
+def _strip_unit(rows) -> tuple:
+    """(rows-without-unit-line, scale-to-angstrom)."""
+    if rows and len(rows[0].split()) == 1:
+        unit = rows[0].strip().upper()
+        if unit in _UNIT_TO_ANG:
+            return rows[1:], _UNIT_TO_ANG[unit]
+        raise ValueError(f"unknown .cell unit {rows[0]!r}")
+    return rows, 1.0
+
+
+def read_castep_cell(path: str, require_exo: bool = True) -> CellStructure:
+    """Parse a CASTEP ``.cell`` file.
+
+    Handles the layouts real CASTEP emits (the reference's parser,
+    ref data_preparation.py:14-50, is positional and only reads its own
+    coreloss exports): ``LATTICE_ABC`` (lengths+angles) or ``LATTICE_CART``
+    (row vectors), ``POSITIONS_FRAC`` or ``POSITIONS_ABS``, optional unit
+    lines (ang / bohr / a0 / nm), ``#``/``!`` comments, blank lines and
+    case-insensitive block keywords. The excited oxygen is any site whose
+    species tag carries an ``:ex`` suffix (the reference writes ``O:ex``).
+    """
     with open(path) as f:
-        lines = [ln.rstrip("\n") for ln in f]
-    lengths = [float(x) for x in lines[1].split()]
-    angles = [float(x) for x in lines[2].split()]
-    lattice = lattice_from_parameters(*lengths, *angles)
+        blocks = _parse_blocks(f.read().splitlines())
+
+    if "LATTICE_ABC" in blocks:
+        rows, scale = _strip_unit(blocks["LATTICE_ABC"])
+        lengths = [float(x) * scale for x in rows[0].split()[:3]]
+        angles = [float(x) for x in rows[1].split()[:3]]
+        lattice = lattice_from_parameters(*lengths, *angles)
+    elif "LATTICE_CART" in blocks:
+        rows, scale = _strip_unit(blocks["LATTICE_CART"])
+        lattice = np.asarray(
+            [[float(x) * scale for x in r.split()[:3]] for r in rows[:3]]
+        )
+    else:
+        raise ValueError(f"no LATTICE_ABC/LATTICE_CART block in {path}")
+
+    frac_block = blocks.get("POSITIONS_FRAC")
+    abs_block = blocks.get("POSITIONS_ABS")
+    if frac_block is None and abs_block is None:
+        raise ValueError(f"no POSITIONS_FRAC/POSITIONS_ABS block in {path}")
+    rows, scale = _strip_unit(
+        frac_block if frac_block is not None else abs_block
+    )
 
     species, coords = [], []
     exo_index = -1
-    i = 0
-    for line in lines[6:]:
-        if line.strip() == "%ENDBLOCK POSITIONS_FRAC":
-            break
+    for i, line in enumerate(rows):
         parts = line.split()
         if len(parts) < 4:
-            continue
+            raise ValueError(f"malformed position line {line!r} in {path}")
         sym = parts[0]
-        if sym == "O:ex":
+        if ":EX" in sym.upper():
             exo_index = i
-            sym = "O"
+            sym = sym.split(":")[0]
         species.append(sym)
         coords.append([float(x) for x in parts[1:4]])
-        i += 1
-    if exo_index < 0:
-        raise ValueError(f"no O:ex site found in {path}")
+    if exo_index < 0 and require_exo:
+        raise ValueError(f"no :ex-tagged site found in {path}")
+
+    coords = np.asarray(coords, np.float64)
+    if frac_block is None:
+        # absolute cartesian -> fractional
+        coords = (coords * scale) @ np.linalg.inv(lattice)
     return CellStructure(
         lattice=lattice,
-        frac_coords=np.asarray(coords, np.float64),
+        frac_coords=coords,
         species=species,
         exo_index=exo_index,
     )

@@ -99,6 +99,90 @@ class TestCell:
             atol=1e-9,
         )
 
+    def test_lattice_cart_block_matches_abc(self, tmp_path, cell_file):
+        """LATTICE_CART (row vectors) of the same cubic cell must parse to
+        identical cartesian coordinates."""
+        text = """%block lattice_cart
+5.0 0.0 0.0
+0.0 5.0 0.0
+0.0 0.0 5.0
+%endblock lattice_cart
+
+%block positions_frac
+O:ex 0.5 0.5 0.5
+Si 0.2 0.5 0.5
+Si 0.8 0.5 0.5
+O 0.5 0.2 0.5
+%endblock positions_frac
+"""
+        p = tmp_path / "cart.cell"
+        p.write_text(text)
+        a = read_castep_cell(cell_file)
+        b = read_castep_cell(str(p))
+        assert b.species == a.species and b.exo_index == a.exo_index
+        np.testing.assert_allclose(b.cart_coords, a.cart_coords, atol=1e-9)
+
+    def test_units_comments_and_positions_abs(self, tmp_path, cell_file):
+        """bohr unit line, # / ! comments, blank lines, POSITIONS_ABS and a
+        stray top-level directive must all parse to the same structure."""
+        bohr = 0.529177210903
+        abs_rows = []
+        ref = read_castep_cell(cell_file)
+        syms = ["O:ex", "Si", "Si", "O"]
+        for sym, cart in zip(syms, ref.cart_coords):
+            x, y, z = cart / bohr
+            abs_rows.append(f"{sym} {x:.12f} {y:.12f} {z:.12f}")
+        text = (
+            "KPOINT_MP_GRID 1 1 1\n"
+            "%BLOCK LATTICE_ABC\n"
+            "bohr\n"
+            f"{5.0/bohr:.12f} {5.0/bohr:.12f} {5.0/bohr:.12f}\n"
+            "90.0 90.0 90.0  ! cell angles\n"
+            "%ENDBLOCK LATTICE_ABC\n"
+            "\n"
+            "# excited-oxygen run\n"
+            "%BLOCK POSITIONS_ABS\n"
+            "bohr\n" + "\n".join(abs_rows) + "\n"
+            "%ENDBLOCK POSITIONS_ABS\n"
+        )
+        p = tmp_path / "abs.cell"
+        p.write_text(text)
+        s = read_castep_cell(str(p))
+        assert s.species == ref.species and s.exo_index == ref.exo_index
+        np.testing.assert_allclose(s.cart_coords, ref.cart_coords, atol=1e-8)
+        np.testing.assert_allclose(s.lattice, ref.lattice, atol=1e-8)
+
+    def test_missing_exo(self, tmp_path):
+        text = """%BLOCK LATTICE_ABC
+5.0 5.0 5.0
+90.0 90.0 90.0
+%ENDBLOCK LATTICE_ABC
+%BLOCK POSITIONS_FRAC
+O 0.5 0.5 0.5
+Si 0.2 0.5 0.5
+%ENDBLOCK POSITIONS_FRAC
+"""
+        p = tmp_path / "noexo.cell"
+        p.write_text(text)
+        with pytest.raises(ValueError, match=":ex"):
+            read_castep_cell(str(p))
+        s = read_castep_cell(str(p), require_exo=False)
+        assert s.exo_index == -1 and s.num_sites == 2
+
+    def test_malformed_position_line_raises(self, tmp_path):
+        text = """%BLOCK LATTICE_ABC
+5.0 5.0 5.0
+90.0 90.0 90.0
+%ENDBLOCK LATTICE_ABC
+%BLOCK POSITIONS_FRAC
+O:ex 0.5 0.5
+%ENDBLOCK POSITIONS_FRAC
+"""
+        p = tmp_path / "bad.cell"
+        p.write_text(text)
+        with pytest.raises(ValueError, match="malformed"):
+            read_castep_cell(str(p))
+
     def test_min_image(self, cell_file):
         s = read_castep_cell(cell_file)
         d_direct = distance_matrix(s)
