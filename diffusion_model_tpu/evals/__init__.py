@@ -20,6 +20,10 @@ from diffusion_model_tpu.evals.fingerprint import (
     tanimoto_similarity,
     fingerprint_similarity,
 )
+from diffusion_model_tpu.evals.baseline import (
+    nn_ceiling_r2,
+    spectrum_nn_predict,
+)
 from diffusion_model_tpu.evals.template import (
     local_descriptor,
     template_match,
@@ -46,4 +50,6 @@ __all__ = [
     "fingerprint_similarity",
     "local_descriptor",
     "template_match",
+    "spectrum_nn_predict",
+    "nn_ceiling_r2",
 ]

@@ -141,6 +141,22 @@ def main():
             logger.log_figure("cn2_angle_parity", fig)
             plt.close(fig)
 
+    # Information ceiling: a 1-NN regressor in spectrum space bounds what
+    # any conditional model can extract (evals/baseline.py). Computed on
+    # TRUE angles of 3-atom (CN2) conditions, train -> test.
+    angle_nn_ceiling = None
+    tr3 = [g for g in train_set if g["pos"].shape[0] == 3]
+    te3 = [g for g in test_set if g["pos"].shape[0] == 3]
+    if angle_r2 is not None and len(tr3) >= 3 and len(te3) >= 3:
+        from diffusion_model_tpu.evals import nn_ceiling_r2
+
+        angle_nn_ceiling = nn_ceiling_r2(
+            np.stack([g["spectrum"][0] for g in tr3]),
+            np.asarray(cn2_angle_deg(np.stack([g["pos"] for g in tr3]))),
+            np.stack([g["spectrum"][0] for g in te3]),
+            np.asarray(cn2_angle_deg(np.stack([g["pos"] for g in te3]))),
+        )
+
     out = {
         "config": args.tag or f"{args.epochs}ep_{args.shells}shell_n{args.n_max}",
         "noise_schedule": cfg.noise_schedule,
@@ -153,6 +169,7 @@ def main():
         "rdf_cos_median": float(np.median(rdf_cos)),
         "cn2_angle_r2": angle_r2,
         "cn2_angle_mae_deg": angle_mae,
+        "cn2_angle_r2_nn_ceiling": angle_nn_ceiling,
         "rmsd_best": float(summary["sorted_rmsd"][0][1]),
         "rmsd_median": float(
             summary["sorted_rmsd"][len(summary["sorted_rmsd"]) // 2][1]

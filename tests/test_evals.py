@@ -286,3 +286,28 @@ class TestAlignedGroupMeans:
         ga, gb = aligned_group_means(a, b, 3, invalid=invalid)
         np.testing.assert_allclose(ga, [4.0])
         np.testing.assert_allclose(gb, [5.0])
+
+
+class TestSpectrumNNBaseline:
+    def test_recovers_spectrum_determined_target(self, rng):
+        """When the target is a smooth function of the spectrum, the 1-NN
+        ceiling is high; with shuffled labels it collapses."""
+        from diffusion_model_tpu.evals import nn_ceiling_r2, \
+            spectrum_nn_predict
+
+        def spec(theta):
+            ev = np.linspace(-1, 19, 64)
+            return np.exp(-0.5 * ((ev - 4 * theta / 180.0 - 3) / 0.8) ** 2)
+
+        tr_ang = rng.uniform(60, 180, 200)
+        te_ang = rng.uniform(60, 180, 40)
+        tr_sp = np.stack([spec(a) for a in tr_ang])
+        te_sp = np.stack([spec(a) for a in te_ang])
+        r2 = nn_ceiling_r2(tr_sp, tr_ang, te_sp, te_ang)
+        assert r2 > 0.95, r2
+        shuffled = rng.permutation(tr_ang)
+        r2_bad = nn_ceiling_r2(tr_sp, shuffled, te_sp, te_ang)
+        assert r2_bad < 0.5, r2_bad
+        # exact match when a test spectrum equals a training spectrum
+        pred = spectrum_nn_predict(tr_sp, tr_ang, tr_sp[:5])
+        np.testing.assert_allclose(pred, tr_ang[:5])
