@@ -1,0 +1,109 @@
+"""Ahead-of-time serving export: the trained sampler as one StableHLO blob.
+
+The reference's only deployment story is "clone the repo, load the .pth,
+re-run the Python loop" (ref generate_amorphous.py:25-147). Here the whole
+reverse-diffusion program — parameters baked in as constants, the T-step
+scan, the t=0 epilogue, species argmax and acceptance filter — is exported
+with ``jax.export`` into a single serialized artifact that a serving process
+can deserialize and call WITHOUT the model code, config system, or
+checkpoint machinery. Shapes are static per export (batch, n_max fixed),
+which is exactly the serving contract a TPU fleet wants: one compiled
+program per shape bucket, no tracing at request time.
+
+Artifact layout: ``<path>`` is the serialized export; ``<path>.json`` is a
+sidecar with the shape/step metadata a router needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.data.batch import GraphBatch
+
+
+def _sampler_fn(cfg: Config, denoise_fn: Callable, schedule) -> Callable:
+    """(seed, spectrum [B,N,S], exo [B,N,1], mask [B,N]) ->
+    (pos, species, accepted)."""
+    from diffusion_model_tpu.diffusion import sample
+
+    def fn(seed, spectrum, exo, mask):
+        b, n = mask.shape
+        cond = GraphBatch(
+            pos=jnp.zeros((b, n, 3), spectrum.dtype),
+            species=jnp.zeros((b, n, cfg.atom_type_size), spectrum.dtype),
+            spectrum=spectrum,
+            exo=exo,
+            mask=mask,
+        )
+        res = sample(denoise_fn, schedule, cfg, jax.random.PRNGKey(seed),
+                     cond)
+        return res.pos, res.species, res.accepted
+
+    return fn
+
+
+def export_sampler(cfg: Config, trainer, state, path: str,
+                   batch_size: int, platforms=("cpu", "tpu")) -> None:
+    """Serialize the trained sampler for ``batch_size`` conditions of
+    ``cfg.n_max`` atoms into ``path`` (+ ``path.json`` metadata sidecar).
+
+    ``platforms``: lowering targets; the artifact runs on any of them.
+    """
+    params = state.eval_params(cfg)
+    denoise_fn = trainer.denoise_fn(params)
+    schedule = trainer.schedule_for(params)
+    fn = _sampler_fn(cfg, denoise_fn, schedule)
+
+    b, n, s = batch_size, cfg.n_max, cfg.spectrum_size
+    args = (
+        jax.ShapeDtypeStruct((), jnp.uint32),
+        jax.ShapeDtypeStruct((b, n, s), jnp.float32),
+        jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, n), jnp.float32),
+    )
+    exp = jax.export.export(jax.jit(fn), platforms=list(platforms))(*args)
+    with open(path, "wb") as f:
+        f.write(exp.serialize())
+    meta = {
+        "batch_size": b,
+        "n_max": n,
+        "spectrum_size": s,
+        "atom_type_size": cfg.atom_type_size,
+        "num_diffusion_timestep": cfg.num_diffusion_timestep,
+        "sample_steps": cfg.sample_steps,
+        "deterministic_sampling": cfg.deterministic_sampling,
+        "platforms": list(platforms),
+        "inputs": "seed:u32[], spectrum:f32[B,N,S], exo:f32[B,N,1], "
+                  "mask:f32[B,N]",
+        "outputs": "pos:f32[B,N,3], species:f32[B,N,A], accepted:bool[B]",
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+class ServedSampler:
+    """Deserialized sampler — model-code-free inference endpoint."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._exported = jax.export.deserialize(f.read())
+        with open(path + ".json") as f:
+            self.meta = json.load(f)
+
+    def __call__(self, seed: int, spectrum, exo, mask):
+        out = self._exported.call(
+            jnp.asarray(seed, jnp.uint32),
+            jnp.asarray(spectrum, jnp.float32),
+            jnp.asarray(exo, jnp.float32),
+            jnp.asarray(mask, jnp.float32),
+        )
+        pos, species, accepted = out
+        return np.asarray(pos), np.asarray(species), np.asarray(accepted)

@@ -1,0 +1,77 @@
+"""AOT serving export: the serialized sampler must reproduce the live
+sampler bit-for-bit and run without the trainer/model objects."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.data.batch import collate
+from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+from diffusion_model_tpu.diffusion import sample
+from diffusion_model_tpu.serve import ServedSampler, export_sampler
+from diffusion_model_tpu.train import Trainer
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        n_max=6, L=2, m_hidden_size=32, h_hidden_size=32, x_hidden_size=32,
+        m_size=16, spectrum_size=32, compressed_spectrum_size=8,
+        compressor_hidden_dim=(16,), num_diffusion_timestep=10,
+        batch_size=4, lr=1e-3, optimizer="Adam",
+        noise_precision=0.05,  # tame toy alpha tail (see test_distill.py)
+    )  # zero_init_x default True: untrained noisy chains stay finite
+    base.update(kw)
+    return Config(**base)
+
+
+class TestServe:
+    def test_export_roundtrip_matches_live_sampler(self, tmp_path):
+        cfg = tiny_cfg()
+        data = synthetic_sio2_dataset(0, 8, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        cond = collate(data[:4], cfg.n_max)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), cond)
+        state, _ = trainer.train_step(state, jax.random.key(1), cond)
+
+        path = str(tmp_path / "sampler.bin")
+        export_sampler(cfg, trainer, state, path, batch_size=4,
+                       platforms=("cpu",))
+
+        served = ServedSampler(path)
+        assert served.meta["n_max"] == cfg.n_max
+        pos, species, accepted = served(
+            7, np.asarray(cond.spectrum), np.asarray(cond.exo),
+            np.asarray(cond.mask),
+        )
+        assert pos.shape == (4, cfg.n_max, 3)
+        assert species.shape == (4, cfg.n_max, cfg.atom_type_size)
+        assert np.isfinite(pos).all()
+
+        params = state.eval_params(cfg)
+        res = sample(trainer.denoise_fn(params),
+                     trainer.schedule_for(params), cfg,
+                     jax.random.PRNGKey(jnp.uint32(7)), cond)
+        # exported StableHLO and live jit may fuse differently -> ~1e-6
+        # element noise; the program is the same
+        np.testing.assert_allclose(pos, np.asarray(res.pos), atol=1e-4)
+        np.testing.assert_array_equal(accepted, np.asarray(res.accepted))
+
+    def test_export_respects_strided_deterministic_cfg(self, tmp_path):
+        cfg = tiny_cfg(sample_steps=5, deterministic_sampling=True)
+        data = synthetic_sio2_dataset(1, 4, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        cond = collate(data[:2], cfg.n_max)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), cond)
+        path = str(tmp_path / "s.bin")
+        export_sampler(cfg, trainer, state, path, batch_size=2,
+                       platforms=("cpu",))
+        served = ServedSampler(path)
+        assert served.meta["sample_steps"] == 5
+        p1, _, _ = served(3, np.asarray(cond.spectrum),
+                          np.asarray(cond.exo), np.asarray(cond.mask))
+        p2, _, _ = served(3, np.asarray(cond.spectrum),
+                          np.asarray(cond.exo), np.asarray(cond.mask))
+        np.testing.assert_array_equal(p1, p2)  # same seed -> same structure
