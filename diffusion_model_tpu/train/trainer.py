@@ -231,7 +231,14 @@ class Trainer:
         delta = cfg.gamma_rec_floor is the position discretisation scale:
         the likelihood saturates there instead of diverging, so gamma_0 is
         pushed to sigma_0 ~ delta and no further. Gradients reach only the
-        gamma params (the terms involve no denoiser call)."""
+        gamma params (the terms involve no denoiser call).
+
+        Both terms are HINGED at their clean-endpoint values: Adam-family
+        steps are gradient-scale invariant, so without the hinge even the
+        vanishing tail gradient keeps marching the endpoints (measured:
+        gamma_1 drifted to 34, alpha = 0 exactly over the top half of the
+        chain — 500 dead steps and a squeezed interior). Once sigma_0 <=
+        delta / alpha_T KL <= 1e-4 nats/dim the gradient cuts off."""
         cfg = self.cfg
         a0 = schedule.alpha(0)
         a_t = schedule.alpha(cfg.num_diffusion_timestep)
@@ -244,10 +251,16 @@ class Trainer:
         x2_sum = jnp.sum((batch.pos**2) * m3)
         if cfg.diffuse_species:
             x2_sum = x2_sum + jnp.sum((batch.species**2) * m3)
-        rec = 0.5 * jnp.log((s0_sq + d2) / a0**2)
-        prior = 0.5 * (
-            a_t**2 * (x2_sum / jnp.maximum(n_dims, 1.0))
-            + st_sq - 1.0 - jnp.log(st_sq)
+        rec = jnp.maximum(
+            0.5 * jnp.log((s0_sq + d2) / a0**2),
+            0.5 * jnp.log(2.0 * d2),  # value at sigma_0 = delta
+        )
+        prior = jnp.maximum(
+            0.5 * (
+                a_t**2 * (x2_sum / jnp.maximum(n_dims, 1.0))
+                + st_sq - 1.0 - jnp.log(st_sq)
+            ),
+            1e-4,
         )
         num_graphs = jnp.maximum(
             jnp.sum(jnp.any(batch.mask > 0, axis=-1).astype(x2_sum.dtype)),
