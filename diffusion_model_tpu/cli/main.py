@@ -8,9 +8,10 @@ state (config, metrics, figures, artifacts, checkpoints) lives in
 Data: ``--dataset`` takes the framework's .npz dataset (see
 cli/make_dataset.py); ``--synthetic N`` generates N schema-identical
 synthetic SiO2 environments (the reference's raw data is private); and
-``--test_by_provided_data QM9`` is intentionally rejected with an
-explanation (no torch_geometric in this stack — the synthetic path is the
-public smoke test, mirroring the role of ref main.py:145-152).
+``--test_by_provided_data QM9`` loads raw GDB-9 .xyz files from
+``--dataset_path`` (ref main.py:43,90-95,145-152: atom_type_size widens
+to 5 and a seeded 10k subset is drawn; parsed natively by data/qm9.py —
+torch_geometric is absent in this stack).
 """
 
 from __future__ import annotations
@@ -58,10 +59,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 def load_graphs(args, cfg: Config) -> list:
     if args.test_by_provided_data:
-        raise SystemExit(
-            "QM9 via torch_geometric is not available in this stack; use "
-            "--synthetic N for the public smoke-test path instead."
-        )
+        if args.test_by_provided_data != "QM9":
+            raise SystemExit(
+                f"unknown provided dataset {args.test_by_provided_data!r}; "
+                "only QM9 is supported (ref main.py:43)"
+            )
+        if not args.dataset_path:
+            raise SystemExit(
+                "--test_by_provided_data QM9 needs --dataset_path pointing "
+                "at a directory of raw GDB-9 .xyz files"
+            )
+        from diffusion_model_tpu.data.qm9 import load_qm9_dataset
+
+        # ref main.py:146-148: seeded 10k random subset
+        return load_qm9_dataset(args.dataset_path,
+                                spectrum_size=cfg.spectrum_size,
+                                limit=10_000, seed=cfg.seed)
     if args.synthetic:
         return synthetic_sio2_dataset(
             cfg.seed, args.synthetic, cfg.n_max,
@@ -81,6 +94,13 @@ def main(argv=None):
         cfg = load_run_config(args.run_dir)
     else:
         cfg = load_config(args.config) if args.config else Config()
+
+    if args.test_by_provided_data == "QM9":
+        # ref main.py:92-95 widens atom_type_size to 5; QM9 Data objects
+        # carry no spectrum/exO for the conditioning code to read, so the
+        # QM9 smoke run is unconditional (see data/qm9.py docstring).
+        cfg = cfg.replace(atom_type_size=5, conditional=False,
+                          give_exO=False)
 
     graphs = load_graphs(args, cfg)
     graphs = api.prepare_dataset(graphs, cfg)
