@@ -41,14 +41,25 @@ def main():
     steps = 1000
     cfg = Config(n_max=n_atoms, num_diffusion_timestep=steps,
                  compute_dtype="bfloat16")
+    if args.run_dir:
+        # Take the run's persisted config (architecture, noise schedule —
+        # a learned-schedule run carries a gamma subtree the bench default
+        # would not build) but keep the bench workload shapes.
+        import json as _json
+        import os
+
+        from diffusion_model_tpu.config import from_dict
+
+        with open(os.path.join(args.run_dir, "config.json")) as f:
+            cfg = from_dict(_json.load(f)).replace(
+                n_max=n_atoms, num_diffusion_timestep=steps,
+                compute_dtype="bfloat16", sample_steps=0)
 
     cell = amorphous_cell(seed=0, num_atoms=n_atoms,
                           spectrum_size=cfg.spectrum_size)
     cond = next(batch_iterator([cell], 1, cfg.n_max))
 
     if args.run_dir:
-        import os
-
         from diffusion_model_tpu.train.checkpoint import (
             latest_step,
             restore_checkpoint,

@@ -16,7 +16,19 @@ from diffusion_model_tpu.utils.logging import RunLogger
 
 
 def _symbols(species):
-    return ["Si" if s[1] > 0.5 else "O" for s in species]
+    """One-hot rows -> element symbols by column order: the SiO2 layout
+    O=[1,0]/Si=[0,1] (ref make_dataset.py:112-118) or QM9's H/C/N/O/F
+    5-wide layout (data/qm9.py)."""
+    width = np.asarray(species).shape[1]
+    if width == 2:
+        names = ("O", "Si")
+    elif width == 5:
+        from diffusion_model_tpu.data.qm9 import QM9_SPECIES
+
+        names = QM9_SPECIES
+    else:
+        raise SystemExit(f"no element mapping for {width}-wide one-hots")
+    return [names[int(np.argmax(s))] for s in species]
 
 
 def main(argv=None):

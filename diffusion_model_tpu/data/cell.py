@@ -82,7 +82,8 @@ def _parse_blocks(lines) -> dict:
             continue
         upper = line.upper()
         if upper.startswith("%BLOCK"):
-            cur = upper.split(None, 1)[1].strip() if " " in upper else ""
+            parts = upper.split(None, 1)  # any whitespace (tabs included)
+            cur = parts[1].strip() if len(parts) > 1 else ""
             buf = []
         elif upper.startswith("%ENDBLOCK"):
             if cur:

@@ -22,8 +22,9 @@ import numpy as np
 
 from diffusion_model_tpu.data.cell import CellStructure
 
-# Cordero covalent radii (Angstrom), matching evals/fingerprint.py
-COVALENT_RADII = {"O": 0.66, "Si": 1.11, "Al": 1.21, "F": 0.57}
+# Single source of truth for the bond rule's radii — shared with
+# guess_bonds so extraction and fingerprint bonding can't drift apart.
+from diffusion_model_tpu.evals.fingerprint import COVALENT_RADII
 
 
 def mic_vectors(struct: CellStructure, site_index: int) -> np.ndarray:

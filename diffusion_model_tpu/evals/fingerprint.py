@@ -19,7 +19,11 @@ import numpy as np
 
 # Covalent radii (Angstrom) — standard Cordero values for the species the
 # pipeline handles (O, Si plus the overlay stand-ins Al, F).
-COVALENT_RADII = {"O": 0.66, "Si": 1.11, "Al": 1.21, "F": 0.57}
+# Cordero covalent radii (Angstrom); O/Si/Al/F cover the SiO2 pipeline
+# (ref evaluate_fingerprint.py uses RDKit's table), H/C/N complete QM9's
+# H/C/N/O/F species set (data/qm9.py).
+COVALENT_RADII = {"H": 0.31, "C": 0.76, "N": 0.71, "O": 0.66,
+                  "Si": 1.11, "Al": 1.21, "F": 0.57}
 
 
 def guess_bonds(pos: np.ndarray, symbols: list, threshold: float = 1.2

@@ -52,6 +52,13 @@ class GammaNetwork(nn.Module):
     region (gamma_0 ~ -9 for sigma_0 ~ 1e-2) that the VDM boundary terms
     (train/trainer.py) ask for. Scaling the stored parameter multiplies the
     per-step endpoint movement without touching the loss surface shape.
+
+    Checkpoint-format note: this reparameterisation changed the meaning of
+    the stored ``gamma_0``/``gamma_1`` arrays — a learned-schedule
+    checkpoint saved before it (raw endpoints, e.g. -5.0) would be scaled
+    by ``endpoint_scale`` on load and produce a garbage schedule. No such
+    checkpoints are shipped; if one resurfaces, divide its two endpoint
+    arrays by ``endpoint_scale`` when restoring.
     """
 
     hidden: int = 1024

@@ -82,17 +82,16 @@ def make_hybrid_mesh(dcn_replicas: int, ici_size: Optional[int] = None,
     return Mesh(arr, tuple(axis_names))
 
 
-def _batch_axes(mesh: Mesh):
-    """All mesh axes the batch dimension shards over (DP uses every axis
-    unless a layout reserves ``data`` for the node dimension)."""
-    return tuple(mesh.axis_names)
-
-
 def dp_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Leading (batch) axis sharded over ``axis`` — over ALL mesh axes for
-    a hierarchical ("replica", "data") mesh."""
-    if len(mesh.axis_names) > 1:
-        return NamedSharding(mesh, P(_batch_axes(mesh)))
+    """Leading (batch) axis sharded over ``axis``.
+
+    On the hierarchical ("replica", "data") mesh from ``make_hybrid_mesh``
+    DP spans BOTH axes (DCN replicas x ICI data shards); any other
+    multi-axis mesh keeps the requested ``axis`` only, so a second
+    non-data axis stays replicated.
+    """
+    if set(mesh.axis_names) == {"replica", "data"}:
+        return NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return NamedSharding(mesh, P(axis))
 
 

@@ -30,15 +30,22 @@ from diffusion_model_tpu.data.batch import GraphBatch
 
 
 def _sampler_fn(cfg: Config, denoise_fn: Callable, schedule) -> Callable:
-    """(seed, spectrum [B,N,S], exo [B,N,1], mask [B,N]) ->
-    (pos, species, accepted)."""
+    """(seed, spectrum [B,N,S], exo [B,N,1], mask [B,N], species [B,N,A]) ->
+    (pos, species, accepted).
+
+    ``species`` is the condition's one-hots: ignored when
+    ``cfg.diffuse_species`` (the chain samples species itself) but the
+    fixed species channel for position-only configs
+    (``diffuse_species=False``, ref E3diffusion_new.py) — a router serving
+    those passes the requested composition.
+    """
     from diffusion_model_tpu.diffusion import sample
 
-    def fn(seed, spectrum, exo, mask):
+    def fn(seed, spectrum, exo, mask, species):
         b, n = mask.shape
         cond = GraphBatch(
             pos=jnp.zeros((b, n, 3), spectrum.dtype),
-            species=jnp.zeros((b, n, cfg.atom_type_size), spectrum.dtype),
+            species=species,
             spectrum=spectrum,
             exo=exo,
             mask=mask,
@@ -68,6 +75,7 @@ def export_sampler(cfg: Config, trainer, state, path: str,
         jax.ShapeDtypeStruct((b, n, s), jnp.float32),
         jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
         jax.ShapeDtypeStruct((b, n), jnp.float32),
+        jax.ShapeDtypeStruct((b, n, cfg.atom_type_size), jnp.float32),
     )
     exp = jax.export.export(jax.jit(fn), platforms=list(platforms))(*args)
     with open(path, "wb") as f:
@@ -81,8 +89,10 @@ def export_sampler(cfg: Config, trainer, state, path: str,
         "sample_steps": cfg.sample_steps,
         "deterministic_sampling": cfg.deterministic_sampling,
         "platforms": list(platforms),
+        "diffuse_species": cfg.diffuse_species,
         "inputs": "seed:u32[], spectrum:f32[B,N,S], exo:f32[B,N,1], "
-                  "mask:f32[B,N]",
+                  "mask:f32[B,N], species:f32[B,N,A] (condition one-hots; "
+                  "ignored when diffuse_species)",
         "outputs": "pos:f32[B,N,3], species:f32[B,N,A], accepted:bool[B]",
     }
     with open(path + ".json", "w") as f:
@@ -98,12 +108,23 @@ class ServedSampler:
         with open(path + ".json") as f:
             self.meta = json.load(f)
 
-    def __call__(self, seed: int, spectrum, exo, mask):
+    def __call__(self, seed: int, spectrum, exo, mask, species=None):
+        if species is None:
+            if not self.meta.get("diffuse_species", True):
+                raise ValueError(
+                    "this artifact was exported from a position-only "
+                    "(diffuse_species=False) model: the fixed species "
+                    "one-hots must be supplied per request"
+                )
+            b, n = np.asarray(mask).shape
+            species = np.zeros((b, n, self.meta["atom_type_size"]),
+                               np.float32)
         out = self._exported.call(
             jnp.asarray(seed, jnp.uint32),
             jnp.asarray(spectrum, jnp.float32),
             jnp.asarray(exo, jnp.float32),
             jnp.asarray(mask, jnp.float32),
+            jnp.asarray(species, jnp.float32),
         )
         pos, species, accepted = out
         return np.asarray(pos), np.asarray(species), np.asarray(accepted)

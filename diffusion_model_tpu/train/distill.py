@@ -85,7 +85,12 @@ def step_coeffs(alphas: jnp.ndarray, t):
     alpha_s = alphas[t - 1]
     sq_sigma_t = 1.0 - alpha_t**2
     alpha_ts = alpha_t / alpha_s
-    sq_sigma_ts = sq_sigma_t - alpha_ts**2 * (1.0 - alpha_s**2)
+    # Near-flat learned-schedule segments make this a catastrophic
+    # cancellation that can round negative (same clamp as
+    # diffusion/process.py reverse_diffuse_one_step).
+    sq_sigma_ts = jnp.maximum(
+        sq_sigma_t - alpha_ts**2 * (1.0 - alpha_s**2), 0.0
+    )
     a = 1.0 / alpha_ts
     b = -sq_sigma_ts / (alpha_ts * jnp.sqrt(sq_sigma_t))
     return a, b
@@ -148,9 +153,10 @@ def distill_loss(student_params, teacher_params, apply_fn, cfg: Config,
     edges = None if cfg.neighbor_k else batch.pair_mask()
     denoise = _make_denoise(cfg, apply_fn, batch, edges)
 
-    # The sampler applies the reverse step to the SCALED species channel
-    # (scale * h, diffusion/sampler.py:128-131, ref :373), so in h-units the
-    # step is h' = A h + (B / scale) eps_h.
+    # The sampler applies the reverse step to the SCALED species channel and
+    # stores the result back unscaled (diffusion/sampler.py:128-131, ref
+    # :373 stores reverse(scale*x) into graph.x), so the state transition in
+    # h-units is h' = (A scale) h + B eps_h.
     scale = cfg.onehot_scaling_factor
 
     def teacher_step(pos, h, t_idx):
@@ -160,8 +166,8 @@ def distill_loss(student_params, teacher_params, apply_fn, cfg: Config,
         new_pos = (_per_graph(a, pos) * pos
                    + _per_graph(bb, eps_x) * eps_x) * m3
         if cfg.diffuse_species:
-            new_h = (_per_graph(a, h) * h
-                     + _per_graph(bb / scale, eps_h) * eps_h) * m3
+            new_h = (_per_graph(a * scale, h) * h
+                     + _per_graph(bb, eps_h) * eps_h) * m3
         else:
             new_h = h
         return new_pos, new_h
@@ -172,7 +178,10 @@ def distill_loss(student_params, teacher_params, apply_fn, cfg: Config,
 
     a_s, b_s = step_coeffs(student_phase.alphas, j)
     a_s3 = _per_graph(a_s, pos_t)
-    inv_b = _per_graph(1.0 / b_s, pos_t)  # B < 0 and bounded away from 0
+    # B <= 0 after the sq_sigma_ts clamp; a near-flat segment makes it ~0
+    # (the step ignores eps there) — floor it so the target stays finite
+    # (target_clip then bounds the regression pressure).
+    inv_b = _per_graph(1.0 / jnp.minimum(b_s, -1e-8), pos_t)
     # Static target thresholding: at the TOP grid step the teacher's first
     # half-step multiplies its own eps error by alpha_{T-1}/alpha_T (~1e2+),
     # pushing its second evaluation off-distribution — the coordinate-channel
@@ -188,8 +197,10 @@ def distill_loss(student_params, teacher_params, apply_fn, cfg: Config,
                                student_phase.t_norm[j])
     sq = jnp.sum(((eps_x_s - eps_x_tgt) ** 2) * m3)
     if cfg.diffuse_species:
+        # student step on h is h' = (A_S scale) h + B_S eps (see
+        # teacher_step): invert that operator for the target.
         eps_h_tgt = clip(jax.lax.stop_gradient(
-            (z2_h - a_s3 * h_t) * inv_b * scale
+            (z2_h - a_s3 * scale * h_t) * inv_b
         )) * m3
         sq = sq + jnp.sum(((eps_h_s - eps_h_tgt) ** 2) * m3)
     num_graphs = jnp.maximum(

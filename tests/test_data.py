@@ -47,6 +47,16 @@ def cell_file(tmp_path):
 
 
 class TestCell:
+    def test_tab_separated_block_headers(self, tmp_path):
+        """CASTEP accepts any whitespace between %BLOCK and the block name;
+        tabs must not drop the block silently."""
+        p = tmp_path / "tabs.cell"
+        p.write_text(CELL_TEXT.replace("%BLOCK ", "%BLOCK\t")
+                     .replace("%ENDBLOCK ", "%ENDBLOCK\t"))
+        s = read_castep_cell(str(p))
+        assert s.num_sites == 4
+        assert s.species == ["O", "Si", "Si", "O"]
+
     def test_parse(self, cell_file):
         s = read_castep_cell(cell_file)
         assert s.num_sites == 4

@@ -54,6 +54,36 @@ class TestStepCoeffs:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_scaled_species_step_matches_sampler_operator(self):
+        """The sampler stores reverse(scale*h) back unscaled (ref
+        parts/train_per_iretation.py:343,373), so in h-units the species
+        transition is h' = (A scale) h + B eps — the operator distillation
+        must train against when onehot_scaling_factor != 1."""
+        cfg = tiny_cfg(onehot_scaling_factor=4.0)
+        sched = predefined_schedule(cfg)
+        scale = cfg.onehot_scaling_factor
+        h = jax.random.normal(jax.random.key(2), (4, 5, 2))
+        eps = jax.random.normal(jax.random.key(3), (4, 5, 2))
+        t = jnp.array([3, 5, 1, 8])
+        a, b = step_coeffs(sched.alphas, t)
+        got = (a * scale)[:, None, None] * h + b[:, None, None] * eps
+        want = reverse_diffuse_one_step(
+            sched, jax.random.key(0), scale * h, eps, t, mode="h",
+            deterministic=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_flat_schedule_segment_keeps_coeffs_finite(self):
+        """A near-flat learned-schedule plateau makes sq_sigma_ts a
+        catastrophic cancellation; the clamp must keep (A, B) finite with
+        B <= 0 rather than letting rounding flip its sign."""
+        alphas = jnp.array([0.9999999, 0.9999999, 0.5, 0.5000001, 0.1])
+        for t in range(1, 5):
+            a, b = step_coeffs(alphas, jnp.array([t]))
+            assert np.isfinite(float(a[0])) and np.isfinite(float(b[0]))
+            assert float(b[0]) <= 0.0
+
     def test_halving_is_dyadic_and_matches_strided_sampler_grid(self):
         cfg = tiny_cfg()
         phase = full_phase(predefined_schedule(cfg))

@@ -193,6 +193,21 @@ class TestFingerprint:
         assert tanimoto_similarity({}, {}) == 1.0
 
 
+class TestSpeciesSymbols:
+    def test_cli_maps_sio2_and_qm9_onehots(self):
+        from diffusion_model_tpu.cli.evaluate_fingerprint import _symbols
+
+        assert _symbols(np.asarray([[1, 0], [0, 1]])) == ["O", "Si"]
+        eye5 = np.eye(5, dtype=np.float32)
+        assert _symbols(eye5) == ["H", "C", "N", "O", "F"]
+
+    def test_qm9_elements_have_radii(self):
+        from diffusion_model_tpu.data.qm9 import QM9_SPECIES
+        from diffusion_model_tpu.evals.fingerprint import COVALENT_RADII
+
+        assert all(s in COVALENT_RADII for s in QM9_SPECIES)
+
+
 class TestMorganFingerprint:
     def _structure(self, rng):
         ds = synthetic_sio2_dataset(3, 1, n_max=16, spectrum_size=8,

@@ -67,6 +67,24 @@ class TestDataParallel:
         assert len(shard_shapes) == 8
         assert all(s[0] == 1 for s in shard_shapes)
 
+    def test_dp_respects_axis_on_non_hybrid_multi_axis_mesh(self):
+        """A generic two-axis mesh (say ('model', 'data')) must keep the
+        batch replicated on the non-data axis — only the hierarchical
+        ('replica', 'data') hybrid mesh spans both axes with DP."""
+        from jax.sharding import Mesh
+
+        from diffusion_model_tpu.parallel import dp_batch_sharding
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4),
+                    ("model", "data"))
+        sh = dp_batch_sharding(mesh)
+        x = jax.device_put(np.zeros((4, 3)), sh)
+        # sharded 4-ways over 'data', replicated over 'model' -> every
+        # shard holds one batch row, and each row appears on 2 devices
+        shapes = [s.data.shape for s in x.addressable_shards]
+        assert len(shapes) == 8
+        assert all(s[0] == 1 for s in shapes)
+
 
 class TestNodeSharding:
     def test_node_sharded_forward_matches(self, mesh):
