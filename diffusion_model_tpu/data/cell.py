@@ -198,10 +198,34 @@ def distance_matrix(struct: CellStructure) -> np.ndarray:
     return np.sqrt(np.sum(diff * diff, axis=-1))
 
 
+_IMAGE_SHIFTS = np.array(
+    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    np.float64,
+)
+
+
+def mic_frac_deltas(frac_d: np.ndarray, lattice: np.ndarray) -> np.ndarray:
+    """Map fractional deltas ``[..., 3]`` to their true minimum image.
+
+    Component-wise rounding alone is only exact for orthogonal cells: in a
+    skewed (triclinic/hexagonal) lattice the shortest image of a delta can
+    sit one cell over in a *different* component. Round first, then search
+    the 27 surrounding images in cartesian norm — exact for any cell whose
+    angles stay in the crystallographically sane range (~60-120 deg).
+    """
+    frac_d = frac_d - np.round(frac_d)
+    cand = frac_d[..., None, :] + _IMAGE_SHIFTS      # [..., 27, 3]
+    cart = cand @ lattice
+    d2 = np.sum(cart * cart, axis=-1)
+    best = np.argmin(d2, axis=-1)
+    return np.take_along_axis(
+        cand, best[..., None, None], axis=-2
+    )[..., 0, :]
+
+
 def min_image_distance_matrix(struct: CellStructure) -> np.ndarray:
     """Minimum-image-convention distances for the periodic cell (the
     reference reaches this through pymatgen's ``distance_matrix``)."""
     frac_d = struct.frac_coords[:, None, :] - struct.frac_coords[None, :, :]
-    frac_d -= np.round(frac_d)
-    cart_d = frac_d @ struct.lattice
+    cart_d = mic_frac_deltas(frac_d, struct.lattice) @ struct.lattice
     return np.sqrt(np.sum(cart_d * cart_d, axis=-1))

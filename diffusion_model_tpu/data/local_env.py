@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from diffusion_model_tpu.data.cell import CellStructure
+from diffusion_model_tpu.data.cell import CellStructure, mic_frac_deltas
 
 # Single source of truth for the bond rule's radii — shared with
 # guess_bonds so extraction and fingerprint bonding can't drift apart.
@@ -29,10 +29,11 @@ from diffusion_model_tpu.evals.fingerprint import COVALENT_RADII
 
 def mic_vectors(struct: CellStructure, site_index: int) -> np.ndarray:
     """``[N, 3]`` cartesian MIC vectors from ``site_index`` to every site
-    (the self-vector is zero)."""
+    (the self-vector is zero). Uses the exact image search — component
+    rounding alone picks a longer image in skewed cells (see
+    data/cell.py mic_frac_deltas)."""
     frac_d = struct.frac_coords - struct.frac_coords[site_index]
-    frac_d -= np.round(frac_d)
-    return frac_d @ struct.lattice
+    return mic_frac_deltas(frac_d, struct.lattice) @ struct.lattice
 
 
 def bonded_neighbors(struct: CellStructure, site_index: int,
