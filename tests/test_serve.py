@@ -75,3 +75,30 @@ class TestServe:
         p2, _, _ = served(3, np.asarray(cond.spectrum),
                           np.asarray(cond.exo), np.asarray(cond.mask))
         np.testing.assert_array_equal(p1, p2)  # same seed -> same structure
+
+    def test_position_only_export_uses_request_species(self, tmp_path):
+        """A diffuse_species=False artifact keeps the requested composition
+        fixed through the chain (ref E3diffusion_new.py pos-only mode) and
+        refuses a call that omits it."""
+        import pytest
+
+        cfg = tiny_cfg(diffuse_species=False)
+        data = synthetic_sio2_dataset(2, 4, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        cond = collate(data[:2], cfg.n_max)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), cond)
+        path = str(tmp_path / "posonly.bin")
+        export_sampler(cfg, trainer, state, path, batch_size=2,
+                       platforms=("cpu",))
+        served = ServedSampler(path)
+        assert served.meta["diffuse_species"] is False
+        with pytest.raises(ValueError, match="position-only"):
+            served(3, np.asarray(cond.spectrum), np.asarray(cond.exo),
+                   np.asarray(cond.mask))
+        pos, species, _ = served(3, np.asarray(cond.spectrum),
+                                 np.asarray(cond.exo),
+                                 np.asarray(cond.mask),
+                                 species=np.asarray(cond.species))
+        np.testing.assert_array_equal(species, np.asarray(cond.species))
+        assert np.isfinite(pos).all()
