@@ -1,0 +1,68 @@
+"""Export a trained run's sampler as a serving artifact (serve.py).
+
+The reference's deployment story is "clone the repo, reload the .pth,
+re-run the Python loop" (ref generate_amorphous.py:25-147); here one
+command turns a finished run directory into a single StableHLO artifact a
+serving process can call without any model code::
+
+    python -m diffusion_model_tpu.cli.export \
+        --run_dir runs/flagship --out runs/flagship/sampler.bin \
+        --batch_size 16 --sample_steps 250 --deterministic
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from diffusion_model_tpu import api
+from diffusion_model_tpu.data.batch import GraphBatch
+from diffusion_model_tpu.serve import export_sampler
+from diffusion_model_tpu.utils.logging import load_run_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", type=str, required=True)
+    p.add_argument("--out", type=str, required=True,
+                   help="artifact path (metadata sidecar at <out>.json)")
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="conditions per call (one compiled program per "
+                        "shape bucket)")
+    p.add_argument("--sample_steps", type=int, default=None,
+                   help="override: strided sampler step count (0 = full)")
+    p.add_argument("--deterministic", action="store_true",
+                   help="override: DDIM eta=0 sampling")
+    p.add_argument("--platforms", type=str, default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_run_config(args.run_dir)
+    if args.sample_steps is not None:
+        cfg = cfg.replace(sample_steps=args.sample_steps)
+    if args.deterministic:
+        cfg = cfg.replace(deterministic_sampling=True)
+
+    # a dummy condition batch fixes the restore template's shapes
+    b, n = args.batch_size, cfg.n_max
+    example = GraphBatch(
+        pos=np.zeros((1, n, 3), np.float32),
+        species=np.zeros((1, n, cfg.atom_type_size), np.float32),
+        spectrum=np.zeros((1, n, cfg.spectrum_size), np.float32),
+        exo=np.zeros((1, n, 1), np.float32),
+        mask=np.ones((1, n), np.float32),
+    )
+    trainer, state = api.load_trained(args.run_dir, cfg, example)
+    export_sampler(cfg, trainer, state, args.out, batch_size=b,
+                   platforms=tuple(args.platforms.split(",")))
+    print(f"exported sampler ({b}x{n} atoms, "
+          f"{cfg.sample_steps or cfg.num_diffusion_timestep} steps) "
+          f"to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

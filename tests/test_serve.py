@@ -76,6 +76,36 @@ class TestServe:
                           np.asarray(cond.exo), np.asarray(cond.mask))
         np.testing.assert_array_equal(p1, p2)  # same seed -> same structure
 
+    def test_export_cli_roundtrip(self, tmp_path):
+        """cli.export turns a finished run dir into a served artifact."""
+        import yaml
+
+        from diffusion_model_tpu.cli import main as cli_main
+        from diffusion_model_tpu.cli.export import main as export_main
+
+        micro = dict(
+            L=1, m_hidden_size=16, h_hidden_size=16, x_hidden_size=16,
+            m_size=8, spectrum_size=16, compressed_spectrum_size=8,
+            compressor_hidden_dim=[8], num_diffusion_timestep=4,
+            batch_size=8, lr=1e-3, optimizer="Adam", noise_precision=0.05,
+            gen_num_per_spectrum=1, num_epochs=2,
+        )
+        cfg_path = tmp_path / "micro.yaml"
+        cfg_path.write_text(yaml.safe_dump(micro))
+        rd = str(tmp_path / "run")
+        cli_main.main(["--mode", "train_only", "--run_dir", rd,
+                       "--config", str(cfg_path), "--synthetic", "16"])
+        out = str(tmp_path / "sampler.bin")
+        export_main(["--run_dir", rd, "--out", out, "--batch_size", "2",
+                     "--sample_steps", "2", "--platforms", "cpu"])
+        served = ServedSampler(out)
+        assert served.meta["sample_steps"] == 2
+        n, s = served.meta["n_max"], served.meta["spectrum_size"]
+        pos, _, _ = served(1, np.zeros((2, n, s), np.float32),
+                           np.zeros((2, n, 1), np.float32),
+                           np.ones((2, n), np.float32))
+        assert pos.shape == (2, n, 3)
+
     def test_position_only_export_uses_request_species(self, tmp_path):
         """A diffuse_species=False artifact keeps the requested composition
         fixed through the chain (ref E3diffusion_new.py pos-only mode) and
