@@ -1,4 +1,4 @@
-"""Benchmark suite over the five BASELINE.json driver configs.
+"""Benchmark suite over the five BASELINE.json driver configs (+ extras).
 
 Each config prints one JSON line. ``python benchmarks/run_all.py --configs
 1,2,3`` selects a subset; config #5 (mesh DP) uses all visible devices —
@@ -11,6 +11,7 @@ real multi-chip slice.
   4. large cell (1024 atoms) via fixed-degree kNN lists
   5. data-parallel train step + sharded generation over the device mesh
   6. 1024-atom topology comparison: dense vs kNN vs ring peak-memory/time
+  7. atom-count scale sweep through the kNN path (1024/2048/4096)
 """
 
 from __future__ import annotations
@@ -152,6 +153,37 @@ def config4():
           atoms_steps_per_sec=round(1024 / per_step, 1))
 
 
+def config7():
+    """Atom-count scale sweep through the kNN path (N = 1024/2048/4096).
+
+    N with its N^2 pair set is this model's "sequence length" (SURVEY §5);
+    the fixed-degree kNN edge list keeps per-step cost and peak memory
+    O(N*K), so one chip absorbs cells well past the reference's operating
+    envelope. Reports ms/denoise-step, atoms*steps/s and compiled peak
+    memory per size.
+    """
+    from diffusion_model_tpu.data.synthetic import amorphous_cell
+    from diffusion_model_tpu.diffusion import sample
+
+    for n in (1024, 2048, 4096):
+        cfg = _flagship_cfg(n_max=n, neighbor_k=32,
+                            num_diffusion_timestep=10, batch_size=1)
+        cell = amorphous_cell(seed=0, num_atoms=n,
+                              spectrum_size=cfg.spectrum_size)
+        trainer, state, batch = _setup(cfg, [cell])
+        fn = trainer.denoise_fn(state.params)
+        schedule = trainer.schedule_for(state.params)
+        lowered = jax.jit(lambda k: sample(fn, schedule, cfg, k, batch))
+        compiled = lowered.lower(jax.random.key(4)).compile()
+        peak_mb = compiled.memory_analysis().peak_memory_in_bytes / 2**20
+        t = _time(compiled, jax.random.key(4))
+        per_step = t / cfg.num_diffusion_timestep
+        _emit(f"7_scale_{n}atoms_knn32",
+              ms_per_denoise_step=round(per_step * 1000, 2),
+              atoms_steps_per_sec=round(n / per_step, 1),
+              peak_memory_mb=round(peak_mb, 1))
+
+
 def config5():
     """DP train step + sharded generation over the device mesh."""
     from diffusion_model_tpu.data.split import batch_iterator
@@ -259,7 +291,7 @@ def config6():
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--configs", type=str, default="1,2,3,4,5,6")
+    p.add_argument("--configs", type=str, default="1,2,3,4,5,6,7")
     p.add_argument("--platform", type=str, default=None,
                    choices=(None, "cpu", "tpu"),
                    help="pin the JAX platform; the sandbox sitecustomize "
@@ -269,7 +301,7 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     fns = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5, "6": config6}
+           "5": config5, "6": config6, "7": config7}
     for c in args.configs.split(","):
         fns[c.strip()]()
 
