@@ -1,0 +1,118 @@
+"""Size generalization: train on 48-72-atom amorphous cells, sample bigger.
+
+The reference only ever samples at the condition's own size (ref
+parts/train_per_iretation.py:291-292). Because the EGNN is size-agnostic
+(shared per-node/per-edge parameters) and the kNN path bounds each node's
+neighborhood, a model trained on small amorphous cells can be ASKED for
+larger ones — this driver quantifies how far that extrapolation holds:
+train at 48-72 atoms, generate at 72/96/144/192, and score each size with
+distribution-level metrics (aggregate RDF cosine vs same-size originals,
+nearest-neighbour distance median, O-site density MAE).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def nn_distances(pos, mask):
+    """Nearest-neighbour distance per real atom of one structure."""
+    n = int(mask.sum())
+    p = pos[:n]
+    d = np.linalg.norm(p[:, None] - p[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    return d.min(1)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out_dir", type=str, default="runs/size_gen")
+    p.add_argument("--epochs", type=int, default=800)
+    p.add_argument("--train_cells", type=int, default=96)
+    p.add_argument("--neighbor_k", type=int, default=16)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--sizes", type=str, default="72,96,144,192")
+    p.add_argument("--gen_cells", type=int, default=8,
+                   help="conditions per evaluation size")
+    args = p.parse_args()
+
+    from diffusion_model_tpu import api
+    from diffusion_model_tpu.config import Config
+    from diffusion_model_tpu.data.synthetic import amorphous_cell
+    from diffusion_model_tpu.evals import rdf_metrics
+    from diffusion_model_tpu.evals.density import o_density
+    from diffusion_model_tpu.ops.rdf import rdf_from_exo
+    from diffusion_model_tpu.utils.logging import RunLogger
+
+    cfg = Config(
+        n_max=72, neighbor_k=args.neighbor_k, batch_size=32,
+        num_diffusion_timestep=args.timesteps, num_epochs=args.epochs,
+        lr=2e-4, optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
+        gen_num_per_spectrum=2,
+    )
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(cfg.seed)
+    train_graphs = [
+        amorphous_cell(seed=int(s), num_atoms=int(rng.integers(48, 73)),
+                       spectrum_size=cfg.spectrum_size)
+        for s in rng.integers(0, 2**31, args.train_cells)
+    ]
+    logger = RunLogger(args.out_dir, cfg)
+    t0 = time.time()
+    trainer, state, _ = api.train(cfg, train_graphs, args.out_dir, logger)
+    print(f"trained {args.epochs} epochs in {time.time()-t0:.0f}s",
+          flush=True)
+
+    results = {}
+    for size in [int(s) for s in args.sizes.split(",")]:
+        cfg_s = cfg.replace(n_max=size)
+        cells = [
+            amorphous_cell(seed=10_000 + size + i, num_atoms=size,
+                           spectrum_size=cfg.spectrum_size)
+            for i in range(args.gen_cells)
+        ]
+        t0 = time.time()
+        res = api.generate(cfg_s, trainer, state, cells)
+        gen_s = time.time() - t0
+        keep = np.nonzero(res["accepted"])[0]
+        finite = float(res["finite"].mean())
+        row = {"finite_fraction": finite, "accepted": int(len(keep)),
+               "generate_seconds": round(gen_s, 1)}
+        if len(keep):
+            gp = res["generated_pos"][keep]
+            op = res["original_pos"][keep]
+            m = res["mask"][keep]
+            # aggregate RDF over all accepted structures of this size
+            rdf_g = np.mean([np.asarray(rdf_from_exo(p_, m_))
+                             for p_, m_ in zip(gp, m)], axis=0)
+            rdf_o = np.mean([np.asarray(rdf_from_exo(p_, m_))
+                             for p_, m_ in zip(op, m)], axis=0)
+            row["aggregate_rdf_cos"] = round(
+                float(rdf_metrics(rdf_o, rdf_g)["cos"]), 4)
+            row["nn_dist_median_generated"] = round(float(np.median(
+                np.concatenate([nn_distances(p_, m_)
+                                for p_, m_ in zip(gp, m)]))), 3)
+            row["nn_dist_median_original"] = round(float(np.median(
+                np.concatenate([nn_distances(p_, m_)
+                                for p_, m_ in zip(op, m)]))), 3)
+            dens_g = o_density(res["generated_species"][keep], m)
+            dens_o = o_density(res["original_species"][keep], m)
+            row["o_density_mae"] = round(
+                float(np.mean(np.abs(dens_o - dens_g))), 4)
+        results[f"n{size}"] = row
+        print(f"size {size}: {row}", flush=True)
+
+    out = {"config": f"size_gen_knn{args.neighbor_k}_"
+                     f"train48-72_{args.epochs}ep", "sizes": results}
+    with open(os.path.join(args.out_dir, "size_gen_summary.json"),
+              "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
