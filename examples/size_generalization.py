@@ -13,7 +13,10 @@ nearest-neighbour distance median, O-site density MAE).
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
@@ -33,6 +36,11 @@ def main():
     p.add_argument("--out_dir", type=str, default="runs/size_gen")
     p.add_argument("--epochs", type=int, default=800)
     p.add_argument("--train_cells", type=int, default=96)
+    p.add_argument("--train_min", type=int, default=48,
+                   help="smallest training-cell atom count")
+    p.add_argument("--train_max", type=int, default=72,
+                   help="largest training-cell atom count (inclusive)")
+    p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--neighbor_k", type=int, default=16)
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--sizes", type=str, default="72,96,144,192")
@@ -49,7 +57,8 @@ def main():
     from diffusion_model_tpu.utils.logging import RunLogger
 
     cfg = Config(
-        n_max=72, neighbor_k=args.neighbor_k, batch_size=32,
+        n_max=args.train_max, neighbor_k=args.neighbor_k,
+        batch_size=args.batch_size,
         num_diffusion_timestep=args.timesteps, num_epochs=args.epochs,
         lr=2e-4, optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
         gen_num_per_spectrum=2,
@@ -57,8 +66,10 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(cfg.seed)
     train_graphs = [
-        amorphous_cell(seed=int(s), num_atoms=int(rng.integers(48, 73)),
-                       spectrum_size=cfg.spectrum_size)
+        amorphous_cell(
+            seed=int(s),
+            num_atoms=int(rng.integers(args.train_min, args.train_max + 1)),
+            spectrum_size=cfg.spectrum_size)
         for s in rng.integers(0, 2**31, args.train_cells)
     ]
     logger = RunLogger(args.out_dir, cfg)
