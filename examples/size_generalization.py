@@ -117,8 +117,9 @@ def main():
         results[f"n{size}"] = row
         print(f"size {size}: {row}", flush=True)
 
-    out = {"config": f"size_gen_knn{args.neighbor_k}_"
-                     f"train48-72_{args.epochs}ep", "sizes": results}
+    out = {"config": f"size_gen_knn{args.neighbor_k}_train"
+                     f"{args.train_min}-{args.train_max}_{args.epochs}ep",
+           "sizes": results}
     with open(os.path.join(args.out_dir, "size_gen_summary.json"),
               "w") as f:
         json.dump(out, f, indent=1)
