@@ -17,6 +17,7 @@ line then carries "params": "trained:<dir>".
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -45,15 +46,11 @@ def main():
         # Take the run's persisted config (architecture, noise schedule —
         # a learned-schedule run carries a gamma subtree the bench default
         # would not build) but keep the bench workload shapes.
-        import json as _json
-        import os
+        from diffusion_model_tpu.utils.logging import load_run_config
 
-        from diffusion_model_tpu.config import from_dict
-
-        with open(os.path.join(args.run_dir, "config.json")) as f:
-            cfg = from_dict(_json.load(f)).replace(
-                n_max=n_atoms, num_diffusion_timestep=steps,
-                compute_dtype="bfloat16", sample_steps=0)
+        cfg = load_run_config(args.run_dir).replace(
+            n_max=n_atoms, num_diffusion_timestep=steps,
+            compute_dtype="bfloat16", sample_steps=0)
 
     cell = amorphous_cell(seed=0, num_atoms=n_atoms,
                           spectrum_size=cfg.spectrum_size)

@@ -90,9 +90,16 @@ def dp_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     multi-axis mesh keeps the requested ``axis`` only, so a second
     non-data axis stays replicated.
     """
-    if set(mesh.axis_names) == {"replica", "data"}:
-        return NamedSharding(mesh, P(tuple(mesh.axis_names)))
-    return NamedSharding(mesh, P(axis))
+    names = mesh.axis_names
+    if set(names) == {"replica", "data"}:
+        return NamedSharding(mesh, P(tuple(names)))
+    if axis in names:
+        return NamedSharding(mesh, P(axis))
+    if len(names) > 1:
+        # hybrid mesh under custom axis names (make_hybrid_mesh allows
+        # them): DP spans every axis
+        return NamedSharding(mesh, P(tuple(names)))
+    raise ValueError(f"axis {axis!r} not in mesh axes {names}")
 
 
 def node_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

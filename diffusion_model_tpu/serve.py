@@ -109,22 +109,30 @@ class ServedSampler:
             self.meta = json.load(f)
 
     def __call__(self, seed: int, spectrum, exo, mask, species=None):
-        if species is None:
-            if not self.meta.get("diffuse_species", True):
-                raise ValueError(
-                    "this artifact was exported from a position-only "
-                    "(diffuse_species=False) model: the fixed species "
-                    "one-hots must be supplied per request"
-                )
-            b, n = np.asarray(mask).shape
-            species = np.zeros((b, n, self.meta["atom_type_size"]),
-                               np.float32)
-        out = self._exported.call(
+        args = [
             jnp.asarray(seed, jnp.uint32),
             jnp.asarray(spectrum, jnp.float32),
             jnp.asarray(exo, jnp.float32),
             jnp.asarray(mask, jnp.float32),
-            jnp.asarray(species, jnp.float32),
-        )
-        pos, species, accepted = out
+        ]
+        # artifacts exported before the species input existed take 4 args
+        takes_species = len(self._exported.in_avals) > 4
+        if takes_species:
+            if species is None:
+                if not self.meta.get("diffuse_species", True):
+                    raise ValueError(
+                        "this artifact was exported from a position-only "
+                        "(diffuse_species=False) model: the fixed species "
+                        "one-hots must be supplied per request"
+                    )
+                b, n = np.asarray(mask).shape
+                species = np.zeros((b, n, self.meta["atom_type_size"]),
+                                   np.float32)
+            args.append(jnp.asarray(species, jnp.float32))
+        elif species is not None:
+            raise ValueError(
+                "this artifact predates the species input and cannot take "
+                "a requested composition — re-export with cli/export"
+            )
+        pos, species, accepted = self._exported.call(*args)
         return np.asarray(pos), np.asarray(species), np.asarray(accepted)
