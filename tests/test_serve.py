@@ -106,6 +106,46 @@ class TestServe:
                            np.ones((2, n), np.float32))
         assert pos.shape == (2, n, 3)
 
+    def test_legacy_four_input_artifact_still_callable(self, tmp_path):
+        """Artifacts exported before the species input existed take 4
+        args; ServedSampler must detect that from in_avals and call them
+        compatibly (clear error if a composition is requested)."""
+        import json
+
+        import pytest
+
+        b, n, a = 2, 4, 2
+
+        def legacy_fn(seed, spectrum, exo, mask):
+            pos = jnp.zeros((b, n, 3)) + spectrum[..., :1].sum()
+            species = jnp.tile(jnp.eye(a)[0], (b, n, 1))
+            return pos, species, jnp.ones((b,), bool)
+
+        path = str(tmp_path / "legacy.bin")
+        args = (
+            jax.ShapeDtypeStruct((), jnp.uint32),
+            jax.ShapeDtypeStruct((b, n, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        )
+        exp = jax.export.export(jax.jit(legacy_fn),
+                                platforms=["cpu"])(*args)
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        with open(path + ".json", "w") as f:
+            json.dump({"batch_size": b, "n_max": n, "spectrum_size": 8,
+                       "atom_type_size": a}, f)  # pre-change sidecar
+
+        served = ServedSampler(path)
+        spectrum = np.zeros((b, n, 8), np.float32)
+        exo = np.zeros((b, n, 1), np.float32)
+        mask = np.ones((b, n), np.float32)
+        pos, species, accepted = served(1, spectrum, exo, mask)
+        assert pos.shape == (b, n, 3) and accepted.all()
+        with pytest.raises(ValueError, match="predates the species input"):
+            served(1, spectrum, exo, mask,
+                   species=np.zeros((b, n, a), np.float32))
+
     def test_position_only_export_uses_request_species(self, tmp_path):
         """A diffuse_species=False artifact keeps the requested composition
         fixed through the chain (ref E3diffusion_new.py pos-only mode) and
