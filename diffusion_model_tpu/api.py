@@ -8,6 +8,7 @@ inline (ref main.py:204-337), factored as a library surface the CLI drivers
 
 from __future__ import annotations
 
+import json
 import os
 from functools import partial
 from typing import Optional, Sequence
@@ -92,6 +93,9 @@ def train(cfg: Config, dataset: list, run_dir: str,
         state = jax.device_put(state, replicate(mesh))
     stopper = EarlyStopping(patience=cfg.patience)
 
+    from diffusion_model_tpu.utils.profiling import PhaseTimer
+
+    timer = PhaseTimer()
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     epoch = start_epoch
     nan_recoveries = 0
@@ -101,8 +105,9 @@ def train(cfg: Config, dataset: list, run_dir: str,
         batches = batch_iterator(
             train_set, cfg.batch_size, cfg.n_max, seed=cfg.seed + epoch
         )
-        state, train_loss = trainer.train_epoch(state, k_tr, batches,
-                                                mesh=mesh)
+        with timer.phase("train_epoch"):
+            state, train_loss = trainer.train_epoch(state, k_tr, batches,
+                                                    mesh=mesh)
         # Training-level failure detection: a non-finite epoch rolls back
         # to the last good state instead of poisoning the run (the
         # reference's only failure handling is the sampler's NaN retry +
@@ -118,17 +123,25 @@ def train(cfg: Config, dataset: list, run_dir: str,
             continue
         good_state = state
         val_batches = batch_iterator(val_set, cfg.batch_size, cfg.n_max)
-        eval_loss = trainer.eval_epoch(state, k_ev, val_batches, mesh=mesh)
+        with timer.phase("eval_epoch"):
+            eval_loss = trainer.eval_epoch(state, k_ev, val_batches,
+                                           mesh=mesh)
         logger.log(
             {"train_loss": train_loss, "eval_loss": eval_loss}, step=epoch
         )
         if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
-            save_checkpoint(ckpt_dir, state, cfg, step=epoch + 1)
+            with timer.phase("checkpoint"):
+                save_checkpoint(ckpt_dir, state, cfg, step=epoch + 1)
         if stopper.validate(eval_loss):
             break
 
-    save_checkpoint(ckpt_dir, state, cfg, step=epoch + 1)
+    with timer.phase("checkpoint"):
+        save_checkpoint(ckpt_dir, state, cfg, step=epoch + 1)
     logger.register_artifact("checkpoints", ckpt_dir)
+    # per-phase wall-clock profile (SURVEY §5: the reference has no
+    # profiling at all) — persisted for every run
+    with open(os.path.join(run_dir, "profile.json"), "w") as f:
+        json.dump(timer.report(), f, indent=1)
     return trainer, state, (train_set, val_set, test_set)
 
 

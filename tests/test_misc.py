@@ -110,6 +110,58 @@ class TestRunLogger:
         assert rec["loss"] == 1.5
 
 
+class TestProfiling:
+    def test_phase_timer_accumulates(self):
+        import time
+
+        from diffusion_model_tpu.utils.profiling import PhaseTimer
+
+        t = PhaseTimer()
+        for _ in range(3):
+            with t.phase("work"):
+                time.sleep(0.01)
+        with t.phase("other"):
+            pass
+        rep = t.report()
+        assert rep["work"]["count"] == 3
+        assert rep["work"]["total_s"] >= 0.03
+        # report rounds total and mean independently
+        assert rep["work"]["mean_s"] == pytest.approx(
+            rep["work"]["total_s"] / 3, rel=2e-2)
+        assert rep["other"]["count"] == 1
+
+    def test_annotate_inside_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        from diffusion_model_tpu.utils.profiling import annotate
+
+        def f(x):
+            with annotate("block"):
+                return x * 2
+
+        assert float(jax.jit(f)(jnp.asarray(3.0))) == 6.0
+
+    def test_api_train_writes_profile(self, tmp_path):
+        from diffusion_model_tpu import api
+        from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+
+        cfg = Config(
+            n_max=5, L=1, m_hidden_size=8, h_hidden_size=8,
+            x_hidden_size=8, m_size=4, spectrum_size=8,
+            compressed_spectrum_size=4, compressor_hidden_dim=(4,),
+            num_diffusion_timestep=4, batch_size=8, optimizer="Adam",
+        )
+        graphs = synthetic_sio2_dataset(0, 16, cfg.n_max,
+                                        spectrum_size=cfg.spectrum_size)
+        rd = str(tmp_path / "run")
+        api.train(cfg, graphs, rd, num_epochs=2)
+        with open(os.path.join(rd, "profile.json")) as f:
+            prof = json.load(f)
+        assert prof["train_epoch"]["count"] == 2
+        assert prof["checkpoint"]["count"] >= 1
+
+
 class TestFramesAndLegacySchedules:
     def test_center_of_mass(self):
         from diffusion_model_tpu.data.frames import center_of_mass
