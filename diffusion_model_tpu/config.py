@@ -106,6 +106,11 @@ class Config:
     # applies between consecutive entries (alpha_ts = alpha_t/alpha_s holds
     # for any s < t); the time feature fed to the denoiser keeps the
     # original t/T values so conditioning matches training.
+    sample_grid: str = "uniform"
+    # grid for strided sampling: "uniform" = round(linspace) over t;
+    # "snr" = equispaced in gamma = log(sigma^2/alpha^2), concentrating
+    # steps where the schedule actually moves — matters for learned
+    # schedules that squeeze their signal band into a sub-interval of t.
     gen_num_per_spectrum: int = 5  # ref parts/train_per_iretation.py:264
     max_nan_retries: int = 10      # ref parts/train_per_iretation.py:379-389
     snapshot_every: int = 100      # ref parts/train_per_iretation.py:336-337

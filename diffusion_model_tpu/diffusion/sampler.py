@@ -42,6 +42,41 @@ def tile_batch(cond: GraphBatch, n: int) -> GraphBatch:
     return jax.tree.map(lambda a: jnp.repeat(a, n, axis=0), cond)
 
 
+def snr_grid(alphas: jnp.ndarray, steps: int) -> jnp.ndarray:
+    """``steps+1`` schedule indices equispaced in log-SNR.
+
+    gamma(t) = log(sigma_t^2 / alpha_t^2) is monotone in t; picking grid
+    points at equal gamma increments concentrates reverse steps where the
+    schedule actually transitions. On the reference polynomial schedule
+    this is close to uniform; on a trained GammaNetwork that squeezes its
+    signal band into a sub-interval of t it reallocates the budget there.
+    Endpoints are pinned to 0 and T and the index sequence is forced
+    strictly monotone where possible (flat-gamma plateaus may still pick
+    the same index twice — those steps degenerate to alpha_ts = 1, i.e.
+    an exact no-op in the posterior math).
+    """
+    # Compute gamma without saturating either tail in float32: the naive
+    # log((1-a2)/a2) form needs a2 clipped to ~[1e-7, 1-1e-7], which
+    # flattens the deep-noise tail of learned schedules (alpha < 3e-4) —
+    # the grid then fuses that whole region into one step whose
+    # alpha_t/alpha_s ratio underflows and the posterior mean z/alpha_ts
+    # explodes. log1p keeps the alpha~1 end exact and log(a2) itself is
+    # finite down to a2 ~ 1e-38.
+    a2 = alphas.astype(jnp.float32) ** 2
+    gamma = (jnp.log1p(-jnp.minimum(a2, 1.0 - 1e-7))
+             - jnp.log(jnp.maximum(a2, 1e-38)))
+    levels = jnp.linspace(gamma[0], gamma[-1], steps + 1)
+    idx = jnp.searchsorted(gamma, levels).astype(jnp.int32)
+    t_max = alphas.shape[0] - 1
+    idx = idx.at[0].set(0).at[-1].set(t_max)
+    # strictly increasing where the level spacing allows it
+    idx = jnp.maximum(idx, jnp.arange(steps + 1, dtype=jnp.int32))
+    idx = jnp.minimum(
+        idx, t_max - steps + jnp.arange(steps + 1, dtype=jnp.int32)
+    )
+    return jax.lax.cummax(idx)
+
+
 def sample(
     denoise_fn: Callable,
     schedule: Schedule,
@@ -67,7 +102,11 @@ def sample(
     if steps != T:
         # strided ancestral sampling: subsample the schedule table; the
         # reverse-step posterior math is exact between any two entries
-        idx = jnp.round(jnp.linspace(0.0, T, steps + 1)).astype(jnp.int32)
+        if cfg.sample_grid == "snr":
+            idx = snr_grid(schedule.alphas, steps)
+        else:
+            idx = jnp.round(jnp.linspace(0.0, T, steps + 1)).astype(
+                jnp.int32)
         schedule = Schedule(alphas=schedule.alphas[idx])
         t_norm_table = idx.astype(jnp.float32) / T
     else:

@@ -242,6 +242,71 @@ class TestStridedSampler:
         assert res.pos.shape == (2, cfg.n_max, 3)
 
 
+class TestSnrGrid:
+    def test_monotone_with_pinned_endpoints(self):
+        from diffusion_model_tpu.diffusion.sampler import snr_grid
+
+        cfg = small_cfg(num_diffusion_timestep=100)
+        alphas = predefined_schedule(cfg).alphas
+        idx = np.asarray(snr_grid(alphas, 10))
+        assert idx[0] == 0 and idx[-1] == 100
+        assert (np.diff(idx) >= 0).all()
+        assert len(set(idx.tolist())) == 11  # strictly increasing here
+
+    def test_concentrates_steps_where_schedule_moves(self):
+        """A squeezed schedule (log-SNR nearly flat outside t in [40, 60],
+        steep inside) must get most grid points in the steep window;
+        uniform would place only ~1/5 of them there."""
+        import jax.numpy as jnp
+
+        from diffusion_model_tpu.diffusion.sampler import snr_grid
+
+        t = np.arange(101) / 100.0
+        # piecewise log-SNR: slow drift on the tails, a 30-unit jump inside
+        g = (-12.0 + 2.0 * np.clip(t / 0.4, 0, 1)
+             + 30.0 * np.clip((t - 0.4) / 0.2, 0, 1)
+             + 2.0 * np.clip((t - 0.6) / 0.4, 0, 1))
+        alphas = jnp.asarray(np.sqrt(1.0 / (1.0 + np.exp(g))))
+        idx = np.asarray(snr_grid(alphas, 20))
+        inside = ((idx >= 40) & (idx <= 60)).sum()
+        assert inside >= 14, idx  # uniform stride would give ~5
+        assert idx[0] == 0 and idx[-1] == 100
+
+    def test_bounded_alpha_ratio_on_underflowing_tail(self):
+        """Learned schedules underflow alpha to ~0 past their signal band;
+        the grid must keep per-step alpha ratios bounded there instead of
+        fusing the tail into one exploding step (gamma computed without
+        f32 clip saturation)."""
+        import jax.numpy as jnp
+
+        from diffusion_model_tpu.diffusion.sampler import snr_grid
+
+        t = np.arange(1001) / 1000.0
+        g = (-9.2 + 60.0 * np.clip((t - 0.1) / 0.4, 0, 1)
+             + 30.0 * np.clip((t - 0.5) / 0.5, 0, 1))
+        alphas = jnp.asarray(np.sqrt(1.0 / (1.0 + np.exp(g))))
+        idx = np.asarray(snr_grid(alphas, 100))
+        a = np.asarray(alphas)
+        ratios = a[idx[1:]] / np.maximum(a[idx[:-1]], 1e-38)
+        assert ratios.min() > 0.1, ratios.min()
+
+    def test_snr_grid_sampling_runs_finite(self):
+        cfg = small_cfg(noise_precision=0.05, num_diffusion_timestep=20,
+                        sample_steps=5, sample_grid="snr")
+        cond = make_cond(cfg, b=2, n_real=4)
+        model = DiffusionDenoiser(cfg)
+        b, n = cond.mask.shape
+        params = model.init(
+            jax.random.key(0),
+            jnp.zeros((b, n, cfg.atom_type_size)), cond.pos, cond.spectrum,
+            cond.exo, jnp.zeros((b, n, 1)), cond.mask, cond.pair_mask(),
+        )
+        fn = lambda *a: model.apply(params, *a)
+        s = predefined_schedule(cfg)
+        res = sample(fn, s, cfg, jax.random.key(8), cond)
+        assert bool(jnp.all(res.finite))
+
+
 class TestDeterministicSampling:
     def test_only_init_noise_matters(self):
         """DDIM eta=0: two different scan keys with the same init noise give
