@@ -178,9 +178,14 @@ def distill(cfg: Config, trainer: Trainer, state, train_graphs: list,
     student_params["denoiser"] = result.params
     # optimizer="Adam" => TrainState.eval_params is the identity (the
     # student has no schedule-free averaging state to resolve)
+    # sample_grid is pinned to "uniform": the student was distilled on the
+    # dyadic grid (exactly round(linspace) when final_steps divides T), so
+    # inheriting a teacher's sample_grid="snr" would silently sample it on
+    # indices it never learned to match.
     student_cfg = cfg.replace(
         sample_steps=result.num_steps,
         deterministic_sampling=True,
+        sample_grid="uniform",
         optimizer="Adam",
     )
     student_state = TrainState(

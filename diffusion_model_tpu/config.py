@@ -130,10 +130,6 @@ class Config:
     # single Frobenius norm over the whole edge batch rather than per-edge
     # (ref EquivariantGraphNeuralNetwork.py:64). Default False = correct
     # per-edge norm (the published EGNN formulation).
-    quantize_edge_mlp: bool = False
-    # int8 dynamic quantization of the big second-layer edge matmuls on the
-    # MXU (2x bf16 throughput on v5e). Inference-only: flip it on a trained
-    # checkpoint for fast sampling; keep off for training.
     zero_init_x: bool = True
     # zero-init the final coordinate-MLP layer so the untrained net is the
     # identity on positions (standard diffusion practice; the reference

@@ -99,6 +99,14 @@ def sample(
     """
     T = cfg.num_diffusion_timestep
     steps = cfg.sample_steps or T
+    if steps > T:
+        # More reverse steps than schedule entries cannot be strided over
+        # the T+1 table: the snr_grid monotonicity clamp would wrap leading
+        # indices negative (a silently corrupt schedule) and the uniform
+        # grid merely degenerates to repeated indices.
+        raise ValueError(
+            f"sample_steps={steps} exceeds num_diffusion_timestep={T}"
+        )
     if steps != T:
         # strided ancestral sampling: subsample the schedule table; the
         # reverse-step posterior math is exact between any two entries

@@ -75,7 +75,6 @@ class DiffusionDenoiser(nn.Module):
             compat_scalar_norm=cfg.compat_scalar_norm,
             compute_dtype=dt,
             zero_init_x=cfg.zero_init_x,
-            quantize_edge_mlp=cfg.quantize_edge_mlp,
             name="egnn",
         )(h_in, pos_t, edges)
 

@@ -92,48 +92,6 @@ class _EdgeFirstLayer(nn.Module):
         )
 
 
-class _QuantDense(nn.Module):
-    """Dense layer evaluated with dynamic int8 quantization on the MXU.
-
-    v5e executes int8 matmuls at 2x the bf16 rate; activations are quantized
-    per row (dynamic absmax), the weight per output channel. Parameter
-    layout is identical to ``nn.Dense`` (kernel ``[K, N]``, bias ``[N]``) so
-    the flag can be flipped on existing checkpoints. Inference-mode tool:
-    rounding is not straight-through, so keep it off for training.
-    """
-
-    features: int
-    in_features: int
-
-    def setup(self):
-        self.kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (self.in_features, self.features),
-        )
-        self.bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,)
-        )
-
-    def __call__(self, v):
-        a32 = v.astype(jnp.float32)
-        row_scale = jnp.maximum(
-            jnp.max(jnp.abs(a32), axis=-1, keepdims=True), 1e-8
-        ) / 127.0
-        q = jnp.clip(jnp.round(a32 / row_scale), -127, 127).astype(jnp.int8)
-        k32 = self.kernel.astype(jnp.float32)
-        col_scale = jnp.maximum(
-            jnp.max(jnp.abs(k32), axis=0, keepdims=True), 1e-8
-        ) / 127.0
-        kq = jnp.clip(jnp.round(k32 / col_scale), -127, 127).astype(jnp.int8)
-        out = jax.lax.dot_general(
-            q, kq,
-            dimension_numbers=(((v.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        out = out.astype(jnp.float32) * row_scale * col_scale + self.bias
-        return out.astype(v.dtype)
-
-
 class _VectorHead(nn.Module):
     """Dense(features=1) evaluated as multiply-reduce on the VPU.
 
@@ -168,9 +126,6 @@ class EGCL(nn.Module):
     compat_scalar_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     zero_init_x: bool = True
-    quantize_edge_mlp: bool = False
-    # ``quantize_edge_mlp`` runs the big second-layer edge matmuls in
-    # dynamic int8 on the MXU (2x bf16 rate on v5e) — inference-only.
     # ``zero_init_x`` zero-initialises the final coordinate-MLP layer so an
     # untrained network is the identity on positions. The reference instead
     # relies on a runtime NaN-retry loop to survive early-training reverse
@@ -198,23 +153,14 @@ class EGCL(nn.Module):
         hdim = h.shape[-1]
         m_first = _EdgeFirstLayer(self.m_hidden, hdim, dt,
                                   name="mlp_m_dense0")
-        if self.quantize_edge_mlp:
-            m_second = _QuantDense(self.m_out, self.m_hidden,
-                                   name="mlp_m_dense1")
-        else:
-            m_second = nn.Dense(self.m_out, dtype=dt, name="mlp_m_dense1")
+        m_second = nn.Dense(self.m_out, dtype=dt, name="mlp_m_dense1")
         # Width-1 output heads (attention logit, coordinate scalar) as
         # explicit multiply-reduce on the VPU: a Dense to 1 output pads the
         # MXU tile 1 -> 128 lanes, wasting a 128x wider matmul.
         att = _VectorHead(name="attention_dense")
         x_first = _EdgeFirstLayer(self.x_hidden, hdim, dt,
                                   name="mlp_x_dense0")
-        if self.quantize_edge_mlp:
-            x_second = _QuantDense(self.x_hidden, self.x_hidden,
-                                   name="mlp_x_dense1")
-        else:
-            x_second = nn.Dense(self.x_hidden, dtype=dt,
-                                name="mlp_x_dense1")
+        x_second = nn.Dense(self.x_hidden, dtype=dt, name="mlp_x_dense1")
         x_last = _VectorHead(zero_init=self.zero_init_x, name="mlp_x_dense2")
         h_dense0 = nn.Dense(self.h_hidden, dtype=dt, name="mlp_h_dense0")
         h_dense1 = nn.Dense(self.h_out, dtype=dt, name="mlp_h_dense1")
@@ -323,7 +269,6 @@ class EquivariantGNN(nn.Module):
     compat_scalar_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     zero_init_x: bool = True
-    quantize_edge_mlp: bool = False
 
     @nn.compact
     def __call__(self, h, x, edges):
@@ -337,7 +282,6 @@ class EquivariantGNN(nn.Module):
                 compat_scalar_norm=self.compat_scalar_norm,
                 compute_dtype=self.compute_dtype,
                 zero_init_x=self.zero_init_x,
-                quantize_edge_mlp=self.quantize_edge_mlp,
                 name=f"egcl_{l}",
             )(h, x, edges)
         return h, x

@@ -54,11 +54,12 @@ class GammaNetwork(nn.Module):
     per-step endpoint movement without touching the loss surface shape.
 
     Checkpoint-format note: this reparameterisation changed the meaning of
-    the stored ``gamma_0``/``gamma_1`` arrays — a learned-schedule
-    checkpoint saved before it (raw endpoints, e.g. -5.0) would be scaled
-    by ``endpoint_scale`` on load and produce a garbage schedule. No such
-    checkpoints are shipped; if one resurfaces, divide its two endpoint
-    arrays by ``endpoint_scale`` when restoring.
+    the stored ``gamma_0``/``gamma_1`` arrays. Checkpoints stamp the scale
+    they were written under (``gamma_endpoint_scale`` in the saved config)
+    and ``train.checkpoint.restore_checkpoint`` rescales mismatched
+    endpoints on load (unstamped = pre-reparameterisation raw endpoints,
+    scale 1.0), so old learned-schedule checkpoints restore to the same
+    semantic schedule.
     """
 
     hidden: int = 1024

@@ -15,6 +15,7 @@ import jax
 import orbax.checkpoint as ocp
 
 from diffusion_model_tpu.config import Config, from_dict
+from diffusion_model_tpu.nn.gamma import GammaNetwork
 
 
 def _manager(directory: str) -> ocp.CheckpointManager:
@@ -26,11 +27,18 @@ def _manager(directory: str) -> ocp.CheckpointManager:
 
 def save_checkpoint(directory: str, state, cfg: Config, step: int) -> None:
     mgr = _manager(directory)
+    # Schema stamp: GammaNetwork stores its trainable endpoints PRE-SCALED
+    # by endpoint_scale (nn/gamma.py). Recording the scale the checkpoint
+    # was written under lets restore_checkpoint rescale (or detect) learned
+    # -schedule checkpoints written under a different reparameterisation
+    # instead of silently loading garbage endpoints.
+    meta = cfg.to_dict()
+    meta["gamma_endpoint_scale"] = float(GammaNetwork.endpoint_scale)
     mgr.save(
         step,
         args=ocp.args.Composite(
             state=ocp.args.StandardSave(state),
-            config=ocp.args.JsonSave(cfg.to_dict()),
+            config=ocp.args.JsonSave(meta),
         ),
     )
     mgr.wait_until_finished()
@@ -61,4 +69,32 @@ def restore_checkpoint(directory: str, abstract_state: Any,
         ),
     )
     mgr.close()
-    return restored["state"], from_dict(restored["config"])
+    state = _rescale_gamma_endpoints(restored["state"], restored["config"])
+    return state, from_dict(restored["config"])
+
+
+def _rescale_gamma_endpoints(state, saved_config: dict):
+    """Convert stored gamma endpoints to the current reparameterisation.
+
+    Checkpoints written before the endpoint_scale reparameterisation (no
+    ``gamma_endpoint_scale`` stamp => raw endpoints, scale 1.0) or under a
+    different scale hold ``gamma_0``/``gamma_1`` arrays whose semantic
+    value is ``stored * stored_scale``; rescale them so
+    ``new_raw * current_scale`` preserves the semantic schedule. Optimizer
+    moments for the two scalars are left as-is (Adam re-adapts within a few
+    steps; exact-resume is only guaranteed same-schema anyway).
+    """
+    stored_scale = float(saved_config.get("gamma_endpoint_scale", 1.0))
+    current_scale = float(GammaNetwork.endpoint_scale)
+    if stored_scale == current_scale:
+        return state
+    params = getattr(state, "params", None)
+    if not isinstance(params, dict) or "gamma" not in params:
+        return state
+    ratio = stored_scale / current_scale
+    gamma = jax.tree.map(lambda a: a, params["gamma"])  # shallow-safe copy
+    for name in ("gamma_0", "gamma_1"):
+        gamma["params"][name] = gamma["params"][name] * ratio
+    new_params = dict(params)
+    new_params["gamma"] = gamma
+    return state.replace(params=new_params)

@@ -1,5 +1,5 @@
-"""Misc coverage: legacy npy ingestion, dataset IO roundtrip, int8
-quantized edge MLPs, config loading, logging."""
+"""Misc coverage: legacy npy ingestion, dataset IO roundtrip,
+config loading, logging."""
 
 import json
 import os
@@ -50,35 +50,6 @@ class TestDatasetIO:
         ds = synthetic_sio2_dataset(0, 2, n_max=10, spectrum_size=32)
         out = resize_spectra(ds, 16)
         assert out[0]["spectrum"].shape[1] == 16
-
-
-class TestQuantizedEdgeMLP:
-    def test_close_to_f32_path(self, rng):
-        # zero_init_x=False so eps_x is non-trivial at init
-        cfg = Config(n_max=10, L=2, m_hidden_size=64, h_hidden_size=64,
-                     x_hidden_size=64, m_size=32, spectrum_size=16,
-                     compressed_spectrum_size=8, compressor_hidden_dim=(8,),
-                     zero_init_x=False)
-        graphs = synthetic_sio2_dataset(0, 2, cfg.n_max,
-                                        spectrum_size=cfg.spectrum_size)
-        batch = collate(graphs, cfg.n_max)
-        b, n = batch.mask.shape
-        t0 = jnp.full((b, n, 1), 0.4) * batch.mask[..., None]
-        args = (batch.species, batch.pos, batch.spectrum, batch.exo, t0,
-                batch.mask, batch.pair_mask())
-        model = DiffusionDenoiser(cfg)
-        params = model.init(jax.random.key(0), *args)
-        a = model.apply(params, *args)
-        q = DiffusionDenoiser(cfg.replace(quantize_edge_mlp=True)).apply(
-            params, *args
-        )
-        for i in range(2):
-            af = np.asarray(a[i]).ravel()
-            qf = np.asarray(q[i]).ravel()
-            cos = np.dot(af, qf) / (
-                np.linalg.norm(af) * np.linalg.norm(qf) + 1e-12
-            )
-            assert cos > 0.999, cos
 
 
 class TestConfigIO:
@@ -142,6 +113,7 @@ class TestProfiling:
 
         assert float(jax.jit(f)(jnp.asarray(3.0))) == 6.0
 
+    @pytest.mark.slow
     def test_api_train_writes_profile(self, tmp_path):
         from diffusion_model_tpu import api
         from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
@@ -218,6 +190,7 @@ class TestFramesAndLegacySchedules:
 
 
 class TestMultiSpecies:
+    @pytest.mark.slow
     def test_qm9_style_training_and_sampling(self):
         """atom_type_size=5 path (the reference's QM9 smoke test widens the
         species one-hot to 5, ref main.py:90-95)."""

@@ -75,6 +75,7 @@ class TestLossMechanics:
 
 class TestOptimizers:
     @pytest.mark.parametrize("opt", ["Adam", "AdamW", "RAdamScheduleFree"])
+    @pytest.mark.slow
     def test_step_changes_params(self, opt):
         cfg = tiny_cfg(optimizer=opt)
         trainer = Trainer(cfg)
@@ -95,6 +96,7 @@ class TestOptimizers:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         cfg = tiny_cfg()
         trainer = Trainer(cfg)
@@ -115,6 +117,7 @@ class TestEndToEnd:
             losses.append(l)
         assert losses[-1] < 0.7 * losses[0], losses
 
+    @pytest.mark.slow
     def test_learned_schedule_trains_gamma(self):
         cfg = tiny_cfg(noise_schedule="learned")
         trainer = Trainer(cfg)
@@ -128,6 +131,7 @@ class TestEndToEnd:
             for a, b in zip(g0, g1)
         )
 
+    @pytest.mark.slow
     def test_gamma_boundary_drives_sigma0_to_floor(self):
         """The VDM boundary terms must pull sigma(0) from its ~0.082 init
         (gamma_0 = -5) toward the reconstruction floor; without them the
@@ -156,6 +160,7 @@ class TestEndToEnd:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_roundtrip(self, tmp_path):
         cfg = tiny_cfg()
         trainer = Trainer(cfg)
@@ -178,6 +183,52 @@ class TestCheckpoint:
             restored, jax.random.key(2), batches[0]
         )
         assert int(restored_next.step) == int(state.step) + 1
+
+    def test_gamma_endpoint_rescale_on_schema_mismatch(self):
+        """Learned-schedule checkpoints written under a different (or no)
+        endpoint_scale reparameterisation must restore to the same
+        SEMANTIC schedule: stored raw endpoints are rescaled by
+        stored_scale/current_scale on load (nn/gamma.py stores the
+        trainable endpoints pre-scaled; an unstamped config means
+        pre-reparameterisation raw values, scale 1.0)."""
+        import jax.numpy as jnp
+
+        from diffusion_model_tpu.nn.gamma import GammaNetwork
+        from diffusion_model_tpu.train.checkpoint import (
+            _rescale_gamma_endpoints,
+        )
+        from diffusion_model_tpu.train.trainer import TrainState
+
+        state = TrainState(
+            params={
+                "denoiser": {"w": jnp.ones(2)},
+                "gamma": {"params": {
+                    "gamma_0": jnp.asarray([-5.0]),
+                    "gamma_1": jnp.asarray([10.0]),
+                    "l1": {"weight": jnp.ones((1, 1))},
+                }},
+            },
+            opt_state=None, step=jnp.zeros((), jnp.int32),
+        )
+        scale = float(GammaNetwork.endpoint_scale)
+        # unstamped sidecar = raw (scale-1.0) endpoints -> divided by scale
+        out = _rescale_gamma_endpoints(state, {})
+        g = out.params["gamma"]["params"]
+        assert float(g["gamma_0"][0]) == pytest.approx(-5.0 / scale)
+        assert float(g["gamma_1"][0]) == pytest.approx(10.0 / scale)
+        # other leaves untouched; original state unmodified
+        np.testing.assert_array_equal(
+            np.asarray(out.params["denoiser"]["w"]), np.ones(2))
+        assert float(
+            state.params["gamma"]["params"]["gamma_0"][0]) == -5.0
+        # matching stamp -> no-op
+        same = _rescale_gamma_endpoints(
+            state, {"gamma_endpoint_scale": scale})
+        assert same is state
+        # no gamma subtree (predefined schedule) -> no-op
+        pos_only = TrainState(params={"denoiser": {}}, opt_state=None,
+                              step=jnp.zeros((), jnp.int32))
+        assert _rescale_gamma_endpoints(pos_only, {}) is pos_only
 
 
 class TestEarlyStopping:
