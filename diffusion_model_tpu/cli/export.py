@@ -36,7 +36,47 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override: DDIM eta=0 sampling")
     p.add_argument("--platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering targets")
+    p.add_argument("--retry_rounds", type=int, default=0,
+                   help="bake a bounded in-graph redraw loop into the "
+                        "artifact (0 = caller owns the redraw contract)")
+    p.add_argument("--calibrate", type=int, default=0,
+                   help="measure single-draw acceptance over this many "
+                        "sampling calls on synthetic conditions and record "
+                        "it in the sidecar")
     return p
+
+
+def _calibrate_acceptance(cfg, trainer, state, batch_size: int,
+                          calls: int) -> dict:
+    """Measured single-draw acceptance rate of the live sampler at the
+    export shape, over synthetic SiO2 conditions — the number a serving
+    operator needs to size the redraw budget (artifact-side retry rounds
+    or caller-side re-calls)."""
+    from functools import partial
+
+    import jax
+
+    from diffusion_model_tpu.data.batch import collate
+    from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+    from diffusion_model_tpu.diffusion import sample
+
+    params = state.eval_params(cfg)
+    jitted = jax.jit(partial(sample, trainer.denoise_fn(params),
+                             trainer.schedule_for(params), cfg))
+    graphs = synthetic_sio2_dataset(cfg.seed + 99, batch_size, cfg.n_max,
+                                    spectrum_size=cfg.spectrum_size)
+    cond = collate(graphs, cfg.n_max)
+    accepted = total = 0
+    for i in range(calls):
+        res = jitted(jax.random.key(1000 + i), cond)
+        accepted += int(np.asarray(res.accepted).sum())
+        total += batch_size
+    return {
+        "single_draw_accepted_fraction": accepted / max(total, 1),
+        "calls": calls,
+        "samples": total,
+        "conditions": "synthetic_sio2",
+    }
 
 
 def main(argv=None):
@@ -57,11 +97,18 @@ def main(argv=None):
         mask=np.ones((1, n), np.float32),
     )
     trainer, state = api.load_trained(args.run_dir, cfg, example)
+    stats = None
+    if args.calibrate:
+        stats = _calibrate_acceptance(cfg, trainer, state, b,
+                                      args.calibrate)
+        print(f"calibrated acceptance: {stats}")
     export_sampler(cfg, trainer, state, args.out, batch_size=b,
-                   platforms=tuple(args.platforms.split(",")))
+                   platforms=tuple(args.platforms.split(",")),
+                   retry_rounds=args.retry_rounds,
+                   acceptance_stats=stats)
     print(f"exported sampler ({b}x{n} atoms, "
-          f"{cfg.sample_steps or cfg.num_diffusion_timestep} steps) "
-          f"to {args.out}")
+          f"{cfg.sample_steps or cfg.num_diffusion_timestep} steps, "
+          f"{args.retry_rounds} in-graph retry rounds) to {args.out}")
 
 
 if __name__ == "__main__":

@@ -29,7 +29,8 @@ from diffusion_model_tpu.config import Config
 from diffusion_model_tpu.data.batch import GraphBatch
 
 
-def _sampler_fn(cfg: Config, denoise_fn: Callable, schedule) -> Callable:
+def _sampler_fn(cfg: Config, denoise_fn: Callable, schedule,
+                retry_rounds: int = 0) -> Callable:
     """(seed, spectrum [B,N,S], exo [B,N,1], mask [B,N], species [B,N,A]) ->
     (pos, species, accepted).
 
@@ -38,6 +39,16 @@ def _sampler_fn(cfg: Config, denoise_fn: Callable, schedule) -> Callable:
     fixed species channel for position-only configs
     (``diffuse_species=False``, ref E3diffusion_new.py) — a router serving
     those passes the requested composition.
+
+    ``retry_rounds > 0`` compiles the reference's host-level NaN/1000 A
+    redraw loop (ref parts/train_per_iretation.py:376-436) INTO the
+    artifact as a bounded ``lax.while_loop``: rejected batch entries are
+    re-drawn with fresh fold_in keys, successes kept, until all are
+    accepted or the bound is hit. Entries still rejected after the bound
+    surface as ``accepted=False`` — the caller's redraw contract then only
+    covers that residue. The first draw uses ``PRNGKey(seed)`` exactly as
+    the retry-free program does, so round 0 stays bit-identical to the
+    live sampler.
     """
     from diffusion_model_tpu.diffusion import sample
 
@@ -52,22 +63,53 @@ def _sampler_fn(cfg: Config, denoise_fn: Callable, schedule) -> Callable:
         )
         res = sample(denoise_fn, schedule, cfg, jax.random.PRNGKey(seed),
                      cond)
-        return res.pos, res.species, res.accepted
+        if not retry_rounds:
+            return res.pos, res.species, res.accepted
+
+        def cond_fn(carry):
+            i, pos, sp, acc = carry
+            return (i < retry_rounds) & ~jnp.all(acc)
+
+        def body_fn(carry):
+            i, pos, sp, acc = carry
+            sub = jax.random.fold_in(jax.random.PRNGKey(seed), i + 1)
+            r = sample(denoise_fn, schedule, cfg, sub, cond)
+            take = ((~acc) & r.accepted)[:, None, None]
+            return (
+                i + 1,
+                jnp.where(take, r.pos, pos),
+                jnp.where(take, r.species, sp),
+                acc | r.accepted,
+            )
+
+        _, pos, sp, acc = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (jnp.zeros((), jnp.int32), res.pos, res.species, res.accepted),
+        )
+        return pos, sp, acc
 
     return fn
 
 
 def export_sampler(cfg: Config, trainer, state, path: str,
-                   batch_size: int, platforms=("cpu", "tpu")) -> None:
+                   batch_size: int, platforms=("cpu", "tpu"),
+                   retry_rounds: int = 0,
+                   acceptance_stats: dict | None = None) -> None:
     """Serialize the trained sampler for ``batch_size`` conditions of
     ``cfg.n_max`` atoms into ``path`` (+ ``path.json`` metadata sidecar).
 
     ``platforms``: lowering targets; the artifact runs on any of them.
+    ``retry_rounds``: bake a bounded in-graph redraw loop into the artifact
+    (see ``_sampler_fn``); 0 exports the raw single-draw program whose
+    rejects the caller must redraw.
+    ``acceptance_stats``: optional measured acceptance numbers (e.g. from
+    ``cli.export --calibrate``) recorded verbatim in the sidecar so a
+    serving operator can size the redraw budget.
     """
     params = state.eval_params(cfg)
     denoise_fn = trainer.denoise_fn(params)
     schedule = trainer.schedule_for(params)
-    fn = _sampler_fn(cfg, denoise_fn, schedule)
+    fn = _sampler_fn(cfg, denoise_fn, schedule, retry_rounds=retry_rounds)
 
     b, n, s = batch_size, cfg.n_max, cfg.spectrum_size
     args = (
@@ -94,7 +136,16 @@ def export_sampler(cfg: Config, trainer, state, path: str,
                   "mask:f32[B,N], species:f32[B,N,A] (condition one-hots; "
                   "ignored when diffuse_species)",
         "outputs": "pos:f32[B,N,3], species:f32[B,N,A], accepted:bool[B]",
+        # Acceptance contract: the sampler can reject a draw (NaN or
+        # coords > 1000 A, ref parts/train_per_iretation.py:376-436).
+        # With in_graph_retry_rounds == 0 the CALLER owns the redraw loop
+        # (re-call with a fresh seed for accepted=False rows); with
+        # rounds > 0 the artifact redraws internally and only
+        # budget-exhausted rows surface as rejected.
+        "in_graph_retry_rounds": retry_rounds,
     }
+    if acceptance_stats:
+        meta["acceptance"] = acceptance_stats
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
 

@@ -4,6 +4,7 @@ sampler bit-for-bit and run without the trainer/model objects."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusion_model_tpu.config import Config
 from diffusion_model_tpu.data.batch import collate
@@ -26,6 +27,7 @@ def tiny_cfg(**kw):
 
 
 class TestServe:
+    @pytest.mark.slow
     def test_export_roundtrip_matches_live_sampler(self, tmp_path):
         cfg = tiny_cfg()
         data = synthetic_sio2_dataset(0, 8, cfg.n_max,
@@ -58,6 +60,7 @@ class TestServe:
         np.testing.assert_allclose(pos, np.asarray(res.pos), atol=1e-4)
         np.testing.assert_array_equal(accepted, np.asarray(res.accepted))
 
+    @pytest.mark.slow
     def test_export_respects_strided_deterministic_cfg(self, tmp_path):
         cfg = tiny_cfg(sample_steps=5, deterministic_sampling=True)
         data = synthetic_sio2_dataset(1, 4, cfg.n_max,
@@ -76,6 +79,7 @@ class TestServe:
                           np.asarray(cond.exo), np.asarray(cond.mask))
         np.testing.assert_array_equal(p1, p2)  # same seed -> same structure
 
+    @pytest.mark.slow
     def test_export_cli_roundtrip(self, tmp_path):
         """cli.export turns a finished run dir into a served artifact."""
         import yaml
@@ -105,6 +109,121 @@ class TestServe:
                            np.zeros((2, n, 1), np.float32),
                            np.ones((2, n), np.float32))
         assert pos.shape == (2, n, 3)
+
+    def test_in_graph_retry_recovers_rejected_rows(self):
+        """retry_rounds compiles the redraw loop into the program: rows the
+        first draw rejects (coords > 1000 A) are re-drawn with fresh keys
+        while first-draw successes are kept bit-identical."""
+        from diffusion_model_tpu.diffusion.process import Schedule
+        from diffusion_model_tpu.ops.schedules import (
+            polynomial_alpha_schedule,
+        )
+        from diffusion_model_tpu.serve import _sampler_fn
+
+        cfg = tiny_cfg(n_max=4, num_diffusion_timestep=3)
+        sched = Schedule(
+            alphas=polynomial_alpha_schedule(3, s=0.05, power=2.0))
+
+        # eps_x = 6 * pos amplifies the initial noise through the short
+        # chain: whether a row blows past the 1000 A acceptance bound
+        # depends on its initial draw -> a seed-dependent accept/reject mix
+        def denoise(h, pos, spec, exo, t, mask, pm):
+            return pos * 6.0, jnp.zeros_like(h)
+
+        b, n = 8, 4
+        inputs = (jnp.uint32(7), np.zeros((b, n, 8), np.float32),
+                  np.zeros((b, n, 1), np.float32),
+                  np.ones((b, n), np.float32),
+                  np.zeros((b, n, 2), np.float32))
+        raw = jax.jit(_sampler_fn(cfg, denoise, sched, retry_rounds=0))
+        ret = jax.jit(_sampler_fn(cfg, denoise, sched, retry_rounds=8))
+        p0, _, a0 = raw(*inputs)
+        p1, _, a1 = ret(*inputs)
+        a0, a1 = np.asarray(a0), np.asarray(a1)
+        assert 0 < a0.sum() < b  # the constant produces a genuine mix
+        assert a1.all()          # the in-graph loop recovered every row
+        np.testing.assert_array_equal(  # first-draw successes untouched
+            np.asarray(p0)[a0], np.asarray(p1)[a0])
+
+    def test_in_graph_retry_bound_surfaces_residue(self):
+        """Rows still rejected when the retry budget runs out must surface
+        as accepted=False (the caller's contract covers only the residue)."""
+        from diffusion_model_tpu.diffusion.process import Schedule
+        from diffusion_model_tpu.ops.schedules import (
+            polynomial_alpha_schedule,
+        )
+        from diffusion_model_tpu.serve import _sampler_fn
+
+        cfg = tiny_cfg(n_max=4, num_diffusion_timestep=3)
+        sched = Schedule(
+            alphas=polynomial_alpha_schedule(3, s=0.05, power=2.0))
+
+        def denoise(h, pos, spec, exo, t, mask, pm):
+            return pos * 8.0, jnp.zeros_like(h)  # rejects every draw
+
+        b, n = 8, 4
+        ret = jax.jit(_sampler_fn(cfg, denoise, sched, retry_rounds=3))
+        _, _, acc = ret(jnp.uint32(7), np.zeros((b, n, 8), np.float32),
+                        np.zeros((b, n, 1), np.float32),
+                        np.ones((b, n), np.float32),
+                        np.zeros((b, n, 2), np.float32))
+        assert not np.asarray(acc).any()
+
+    def test_retry_export_matches_retry_free_when_all_accept(self, tmp_path):
+        """For a model whose first draw is always accepted the retry export
+        is bit-identical to the raw one (the loop body never runs), and the
+        sidecar records the retry budget + calibration stats."""
+        cfg = tiny_cfg()
+        data = synthetic_sio2_dataset(3, 4, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        cond = collate(data[:2], cfg.n_max)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), cond)
+        raw_path = str(tmp_path / "raw.bin")
+        ret_path = str(tmp_path / "retry.bin")
+        export_sampler(cfg, trainer, state, raw_path, batch_size=2,
+                       platforms=("cpu",))
+        export_sampler(cfg, trainer, state, ret_path, batch_size=2,
+                       platforms=("cpu",), retry_rounds=5,
+                       acceptance_stats={
+                           "single_draw_accepted_fraction": 1.0})
+        raw, ret = ServedSampler(raw_path), ServedSampler(ret_path)
+        assert raw.meta["in_graph_retry_rounds"] == 0
+        assert ret.meta["in_graph_retry_rounds"] == 5
+        assert ret.meta["acceptance"][
+            "single_draw_accepted_fraction"] == 1.0
+        args = (5, np.asarray(cond.spectrum), np.asarray(cond.exo),
+                np.asarray(cond.mask))
+        p0, _, a0 = raw(*args)
+        p1, _, a1 = ret(*args)
+        assert a0.all() and a1.all()
+        np.testing.assert_array_equal(p0, p1)
+
+    def test_learned_schedule_export(self, tmp_path):
+        """A learned-schedule (GammaNetwork) model exports with its trained
+        gamma table baked in and reproduces the live sampler."""
+        cfg = tiny_cfg(noise_schedule="learned")
+        data = synthetic_sio2_dataset(4, 8, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        cond = collate(data[:4], cfg.n_max)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), cond)
+        state, _ = trainer.train_step(state, jax.random.key(1), cond)
+
+        path = str(tmp_path / "learned.bin")
+        export_sampler(cfg, trainer, state, path, batch_size=4,
+                       platforms=("cpu",))
+        served = ServedSampler(path)
+        pos, _, accepted = served(
+            9, np.asarray(cond.spectrum), np.asarray(cond.exo),
+            np.asarray(cond.mask),
+        )
+        params = state.eval_params(cfg)
+        res = sample(trainer.denoise_fn(params),
+                     trainer.schedule_for(params), cfg,
+                     jax.random.PRNGKey(jnp.uint32(9)), cond)
+        np.testing.assert_allclose(pos, np.asarray(res.pos), atol=1e-4)
+        np.testing.assert_array_equal(accepted, np.asarray(res.accepted))
 
     def test_legacy_four_input_artifact_still_callable(self, tmp_path):
         """Artifacts exported before the species input existed take 4
