@@ -119,30 +119,38 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim):
     return h_new.astype(h_i.dtype), x_new.astype(x_i.dtype)
 
 
-def ring_denoise_fn(cfg: Config, denoiser_params, mesh: Mesh,
-                    axis: str = "data"):
-    """Ring-sharded functional denoiser over one large graph.
+def ring_denoise_apply(cfg: Config, mesh: Mesh, axis: str = "data"):
+    """Differentiable ring-sharded denoiser over one large graph.
 
-    Returns ``fn(species_ch [N,A], pos [N,3], spectrum [N,S], exo [N,1],
-    t_norm [N,1], mask [N]) -> (eps_x, eps_h)`` with all node-axis inputs
-    sharded over ``axis``. N must be divisible by the mesh size.
+    Returns ``fn(denoiser_params, species_ch [N,A], pos [N,3],
+    spectrum [N,S], exo [N,1], t_norm [N,1], mask [N]) -> (eps_x, eps_h)``
+    with all node-axis inputs sharded over ``axis`` and the parameter
+    pytree replicated (``P()``). Taking the params as an argument (rather
+    than closing over them as ``ring_denoise_fn`` does) makes the whole
+    program differentiable w.r.t. the parameters: ``shard_map`` transposes
+    the replicated-in broadcast to a ``psum`` of per-device parameter
+    cotangents and ``ppermute`` to its inverse rotation, so
+    ``jax.grad`` through the ring matches the dense oracle — the SP
+    -analogue *training* path for cells too big for one chip's pair grid
+    (SURVEY.md §2.6).
     """
-    p = denoiser_params["params"]
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size
-    comp = p.get("spectrum_compressor")
-
-    def compressor(spectrum):
-        y = spectrum.astype(dt)
-        i = 0
-        while comp is not None and f"dense{i}" in comp:
-            y = jax.nn.relu(_dense(comp[f"dense{i}"], y, dt))
-            i += 1
-        return _dense(comp["dense_out"], y, dt)
-
     ndev = mesh.devices.size
 
-    def local_fn(species_ch, pos, spectrum, exo, t_norm, mask, idx):
+    def local_fn(variables, species_ch, pos, spectrum, exo, t_norm, mask,
+                 idx):
+        p = variables["params"]
+        comp = p.get("spectrum_compressor")
+
+        def compressor(spectrum):
+            y = spectrum.astype(dt)
+            i = 0
+            while comp is not None and f"dense{i}" in comp:
+                y = jax.nn.relu(_dense(comp[f"dense{i}"], y, dt))
+                i += 1
+            return _dense(comp["dense_out"], y, dt)
+
         feats = [species_ch.astype(dt)]
         if cfg.conditional:
             if cfg.to_compress_spectrum:
@@ -173,16 +181,30 @@ def ring_denoise_fn(cfg: Config, denoiser_params, mesh: Mesh,
     sharded = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis)),
         out_specs=(P(axis), P(axis)),
     )
 
-    def fn(species_ch, pos, spectrum, exo, t_norm, mask):
+    def fn(denoiser_params, species_ch, pos, spectrum, exo, t_norm, mask):
         n = pos.shape[0]
         if n % ndev != 0:
             raise ValueError(f"N={n} not divisible by mesh size {ndev}")
         idx = jnp.arange(n, dtype=jnp.int32)
-        return sharded(species_ch, pos, spectrum, exo, t_norm, mask, idx)
+        return sharded(denoiser_params, species_ch, pos, spectrum, exo,
+                       t_norm, mask, idx)
+
+    return fn
+
+
+def ring_denoise_fn(cfg: Config, denoiser_params, mesh: Mesh,
+                    axis: str = "data"):
+    """Ring denoiser with the parameters baked in (inference closure over
+    :func:`ring_denoise_apply` — the sampling-path surface)."""
+    apply_fn = ring_denoise_apply(cfg, mesh, axis)
+
+    def fn(species_ch, pos, spectrum, exo, t_norm, mask):
+        return apply_fn(denoiser_params, species_ch, pos, spectrum, exo,
+                        t_norm, mask)
 
     return fn

@@ -316,6 +316,75 @@ class Trainer:
         total = jnp.sum(jnp.where(real, rmsd, 0.0))
         return total / jnp.maximum(jnp.sum(real.astype(rmsd.dtype)), 1.0)
 
+    # -- ring (node-sharded) training ----------------------------------
+    def ring_train_step_fn(self, mesh, axis: str = "data") -> Callable:
+        """Jitted training step through the ring-sharded topology
+        (parallel/ring.py) for ONE large cell per step (batch of 1 graph
+        whose node axis is sharded over ``axis``).
+
+        This is the SP-analogue training path (SURVEY.md §2.6): when a
+        cell's dense pair grid exceeds one chip, gradients flow through the
+        hand-scheduled ppermute ring — ``shard_map`` is differentiable, so
+        the parameter cotangents are psum-reduced across the mesh exactly
+        like DP gradients. Loss/normalisation semantics are identical to
+        ``train_step`` (same ``diffuse_batch`` + ``epsilon_loss``); only
+        the denoiser forward is routed through the ring.
+
+        Returns ``step(state, key, batch) -> (state, metrics)``.
+        """
+        if self.cfg.noise_schedule != "predefined":
+            raise NotImplementedError(
+                "ring training currently supports the predefined schedule"
+            )
+        from diffusion_model_tpu.parallel.ring import ring_denoise_apply
+
+        cfg = self.cfg
+        schedule = self._static_schedule
+        apply_fn = ring_denoise_apply(cfg, mesh, axis)
+
+        def loss_fn(params, key, batch: GraphBatch):
+            # same stream layout as _loss so ring and dense train steps
+            # draw identical noise from the same key (parity-testable)
+            k_diff, _, _ = jax.random.split(key, 3)
+            pos_t, h_t, t, eps_pos, eps_h = diffuse_batch(
+                schedule, cfg, k_diff, batch
+            )
+            b, n = batch.mask.shape
+            t_norm = (
+                t.astype(jnp.float32)[:, None, None]
+                / cfg.num_diffusion_timestep
+            ) * jnp.ones((b, n, 1)) * batch.mask[..., None]
+            eps_x_pred, eps_h_pred = apply_fn(
+                params["denoiser"], h_t[0], pos_t[0], batch.spectrum[0],
+                batch.exo[0], t_norm[0], batch.mask[0],
+            )
+            loss, sum_sq, num_nodes = epsilon_loss(
+                eps_x_pred[None], eps_h_pred[None], eps_pos, eps_h,
+                batch.mask, include_h=cfg.diffuse_species,
+            )
+            return loss, (sum_sq, num_nodes)
+
+        def step(state: TrainState, key, batch: GraphBatch):
+            (loss, (sum_sq, num_nodes)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, key, batch)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params, opt_state=opt_state, step=state.step + 1
+            )
+            metrics = {
+                "loss": loss,
+                "sum_sq": sum_sq,
+                "num_nodes": num_nodes,
+                "grad_norm": optax.global_norm(grads),
+            }
+            return new_state, metrics
+
+        return jax.jit(step)
+
     # -- steps ----------------------------------------------------------
     def _train_step_impl(self, state: TrainState, key, batch: GraphBatch):
         (loss, (sum_sq, num_nodes)), grads = jax.value_and_grad(

@@ -10,7 +10,10 @@ from diffusion_model_tpu.data.batch import collate
 from diffusion_model_tpu.data.synthetic import amorphous_cell
 from diffusion_model_tpu.nn import DiffusionDenoiser
 from diffusion_model_tpu.parallel import make_mesh
-from diffusion_model_tpu.parallel.ring import ring_denoise_fn
+from diffusion_model_tpu.parallel.ring import (
+    ring_denoise_apply,
+    ring_denoise_fn,
+)
 
 
 class TestRing:
@@ -49,6 +52,101 @@ class TestRing:
                                    rtol=3e-4, atol=3e-5)
         np.testing.assert_allclose(np.asarray(want_h[0]), np.asarray(got_h),
                                    rtol=3e-4, atol=3e-5)
+
+    @pytest.mark.slow
+    def test_grad_parity_with_dense_oracle(self, rng):
+        """shard_map is differentiable: parameter gradients through the
+        ppermute ring must match the dense single-device oracle (the
+        replicated-params broadcast transposes to a psum of per-device
+        cotangents; ppermute to its inverse rotation)."""
+        cfg = Config(
+            n_max=32, L=2, m_hidden_size=32, h_hidden_size=32,
+            x_hidden_size=32, m_size=16, spectrum_size=16,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            zero_init_x=False,
+        )
+        mesh = make_mesh()
+        cell = amorphous_cell(seed=3, num_atoms=29,
+                              spectrum_size=cfg.spectrum_size)
+        batch = collate([cell], cfg.n_max)
+        b, n = batch.mask.shape
+        t_norm = jnp.full((b, n, 1), 0.3) * batch.mask[..., None]
+        species = jnp.asarray(rng.normal(size=(b, n, 2)), jnp.float32)
+        args = (species, batch.pos, batch.spectrum, batch.exo, t_norm,
+                batch.mask)
+
+        model = DiffusionDenoiser(cfg)
+        params = model.init(jax.random.key(0), *args, batch.pair_mask())
+        # fixed cotangent-style targets make the scalar loss generic
+        tx = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        th = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+
+        def dense_loss(p):
+            ex, eh = model.apply(p, *args, batch.pair_mask())
+            return jnp.sum(ex[0] * tx) + jnp.sum(eh[0] * th)
+
+        ring = ring_denoise_apply(cfg, mesh)
+        flat = [a[0] for a in args]
+
+        def ring_loss(p):
+            ex, eh = ring(p, *flat)
+            return jnp.sum(ex * tx) + jnp.sum(eh * th)
+
+        g_dense = jax.grad(dense_loss)(params)
+        g_ring = jax.jit(jax.grad(ring_loss))(params)
+        flat_d, _ = jax.tree_util.tree_flatten_with_path(g_dense)
+        flat_r = jax.tree_util.tree_leaves(g_ring)
+        assert len(flat_d) == len(flat_r)
+        # ring psum vs dense-sum reduction orders differ -> ~0.3% element
+        # noise on a few entries (measured 2/896 beyond 2e-3)
+        for (path, d), r in zip(flat_d, flat_r):
+            np.testing.assert_allclose(
+                np.asarray(d), np.asarray(r), rtol=1e-2, atol=1e-4,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    @pytest.mark.slow
+    def test_ring_train_step_matches_dense(self, rng):
+        """One full optimizer step through the ring topology reproduces the
+        dense train step (same key -> same noise draw -> same grads ->
+        same updated params), upgrading ring support from forward-only
+        sampling to training (SURVEY.md §2.6 SP-analogue row)."""
+        from diffusion_model_tpu.train import Trainer
+
+        cfg = Config(
+            n_max=32, L=2, m_hidden_size=32, h_hidden_size=32,
+            x_hidden_size=32, m_size=16, spectrum_size=16,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            batch_size=1, optimizer="Adam", lr=1e-3,
+        )
+        mesh = make_mesh()
+        cell = amorphous_cell(seed=5, num_atoms=32,
+                              spectrum_size=cfg.spectrum_size)
+        batch = collate([cell], cfg.n_max)
+        trainer = Trainer(cfg)
+        state0 = trainer.init_state(jax.random.key(0), batch)
+
+        key = jax.random.key(7)
+        dense_state, dense_m = trainer.train_step(state0, key, batch)
+        ring_step = trainer.ring_train_step_fn(mesh)
+        ring_state, ring_m = ring_step(state0, key, batch)
+
+        assert np.isfinite(float(ring_m["loss"]))
+        np.testing.assert_allclose(float(ring_m["loss"]),
+                                   float(dense_m["loss"]),
+                                   rtol=1e-4)
+        for (path, d), r in zip(
+            jax.tree_util.tree_flatten_with_path(dense_state.params)[0],
+            jax.tree_util.tree_leaves(ring_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(d), np.asarray(r), rtol=2e-3, atol=2e-6,
+                err_msg=jax.tree_util.keystr(path),
+            )
+        # a second step keeps training (params keep moving, loss finite)
+        ring_state2, m2 = ring_step(ring_state, jax.random.key(8), batch)
+        assert np.isfinite(float(m2["loss"]))
+        assert int(ring_state2.step) == 2
 
     def test_indivisible_raises(self, rng):
         cfg = Config(n_max=30, L=1, m_hidden_size=8, h_hidden_size=8,
