@@ -37,6 +37,7 @@ def mesh():
 
 
 class TestDataParallel:
+    @pytest.mark.slow
     def test_dp_train_step_matches_single_device(self, mesh):
         cfg = tiny_cfg()
         trainer = Trainer(cfg)
@@ -86,7 +87,48 @@ class TestDataParallel:
         assert all(s[0] == 1 for s in shapes)
 
 
+class TestMultiEpochDPEquivalence:
+    @pytest.mark.slow
+    def test_training_trajectories_match(self, mesh, tmp_path):
+        """Multi-epoch DP training equivalence: the same config/seed/
+        effective-batch trained 10 epochs single-device and DP-sharded
+        must give matching loss trajectories — the check that catches
+        key-splitting or metric-accumulation drift across epochs (the
+        one-step parity test above can't). Full 50-epoch artifact:
+        docs/perf/dp_equivalence.json (examples/dp_equivalence.py)."""
+        import json
+        import os
+
+        from diffusion_model_tpu import api
+
+        cfg = tiny_cfg(n_max=16, num_diffusion_timestep=50,
+                       optimizer="RAdamScheduleFree", num_epochs=10)
+        data = synthetic_sio2_dataset(7, 64, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+
+        def traj(run_dir):
+            with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+                recs = [json.loads(line) for line in f]
+            return (
+                np.asarray([r["train_loss"] for r in recs
+                            if "train_loss" in r]),
+                np.asarray([r["eval_loss"] for r in recs
+                            if "eval_loss" in r]),
+            )
+
+        single = str(tmp_path / "single")
+        api.train(cfg, data, single)
+        dp = str(tmp_path / "dp8")
+        api.train(cfg.replace(mesh_shape=(8,)), data, dp)
+        tr_s, ev_s = traj(single)
+        tr_d, ev_d = traj(dp)
+        assert len(tr_s) == len(tr_d) == 10
+        np.testing.assert_allclose(tr_d, tr_s, rtol=1e-5)
+        np.testing.assert_allclose(ev_d, ev_s, rtol=1e-5)
+
+
 class TestNodeSharding:
+    @pytest.mark.slow
     def test_node_sharded_forward_matches(self, mesh):
         """Large-cell path: node axis sharded over devices, same numerics."""
         cfg = tiny_cfg(n_max=32)
@@ -126,6 +168,7 @@ class TestNodeSharding:
 
 
 class TestShardedSampling:
+    @pytest.mark.slow
     def test_sampler_over_dp_mesh(self, mesh):
         cfg = tiny_cfg()
         trainer = Trainer(cfg)
@@ -144,6 +187,7 @@ class TestShardedSampling:
 
 
 class TestApiMeshTraining:
+    @pytest.mark.slow
     def test_train_over_mesh(self, mesh, tmp_path):
         from diffusion_model_tpu import api
 
@@ -166,6 +210,7 @@ class TestApiMeshTraining:
 class TestHybridMesh:
     """Multi-slice (DCN x ICI) mesh layouts on the 8-CPU fallback grid."""
 
+    @pytest.mark.slow
     def test_hybrid_dp_matches_single_device(self):
         from diffusion_model_tpu.parallel import make_hybrid_mesh
 
