@@ -8,6 +8,7 @@ from diffusion_model_tpu.evals.rmsd import (
 from diffusion_model_tpu.evals.cn2 import (
     aligned_group_means,
     cn2_statistics,
+    conditional_angle_parity,
     per_graph_group_means,
     r2score,
     filter_si_o_si,
@@ -37,6 +38,7 @@ __all__ = [
     "permutation_min_rmsd",
     "hungarian_align",
     "aligned_group_means",
+    "conditional_angle_parity",
     "cn2_statistics",
     "per_graph_group_means",
     "r2score",

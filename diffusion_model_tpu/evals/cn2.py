@@ -80,6 +80,54 @@ def r2score(a, b) -> float:
     return float(1 - np.sum(resid**2) / t_yy)
 
 
+def conditional_angle_parity(results: dict, group: int):
+    """Per-condition Si-exO-Si angle pairs (original, generated) for the
+    CN2 conditions of an ``api.generate`` result, shell-agnostic.
+
+    CN2 conditions are 3 real atoms on 1-shell data (exO + 2 Si) or 5 on
+    2-shell data (+ 2 bridging O; data/synthetic.py make_graph ordering
+    puts the Si at rows 1,2 either way). The ORIGINAL angle reads rows
+    1,2; the GENERATED angle locates the two Si by species argmax over the
+    real rows — a sample whose generated composition is not exactly two
+    non-exO Si is invalidated (symmetrically, so the group pairing holds).
+    Round 2's fixed-row readout silently measured exO-Si-O angles on
+    2-shell data (the 0.67 "flagship gap" artifact); ref
+    CN2_evaluate.py:176-286 for the metric itself.
+
+    Returns ``(avg_o, avg_g)`` aligned per-condition group means.
+    """
+    mask = np.asarray(results["mask"])
+    accepted = np.asarray(results["accepted"]).astype(bool)
+    gen_pos = np.asarray(results["generated_pos"])
+    gen_species = np.asarray(results["generated_species"])
+    orig_pos = np.asarray(results["original_pos"])
+    n_real = mask.sum(-1).astype(int)
+
+    def angle(center, a, b):
+        u, v = a - center, b - center
+        c = np.dot(u, v) / max(np.linalg.norm(u) * np.linalg.norm(v),
+                               1e-12)
+        return np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
+
+    n = len(mask)
+    ang_o = np.full(n, np.nan)
+    ang_g = np.full(n, np.nan)
+    invalid = np.ones(n, bool)
+    for i in range(n):
+        if n_real[i] not in (3, 5) or not accepted[i]:
+            continue
+        k = n_real[i]
+        ang_o[i] = angle(orig_pos[i, 0], orig_pos[i, 1], orig_pos[i, 2])
+        sp = gen_species[i, :k].argmax(-1)  # 0=O, 1=Si
+        si_rows = np.nonzero(sp == 1)[0]
+        if len(si_rows) != 2 or 0 in si_rows:
+            continue
+        ang_g[i] = angle(gen_pos[i, 0], gen_pos[i, si_rows[0]],
+                         gen_pos[i, si_rows[1]])
+        invalid[i] = False
+    return aligned_group_means(ang_o, ang_g, group, invalid=invalid)
+
+
 def filter_si_o_si(pos: np.ndarray, species: np.ndarray, mask: np.ndarray,
                    cutoff: float = 2.0):
     """Indices of graphs whose exO (node 0) has exactly two Si neighbours

@@ -1,0 +1,131 @@
+"""CN2 angle R^2 + 1-NN information ceiling at the flagship 2-shell config.
+
+Round 2 reported ``cn2_angle_r2 = 0.67`` for the flagship (3000-epoch,
+2-shell, n_max=16) run but its 1-NN ceiling was never computed there — the
+ceiling story (0.966 vs 0.970) was measured on 1-SHELL data only
+(docs/quality/angle_ceiling_summary.json), so 0.67 could be ceiling or
+could be model (VERDICT r2 weak #4). This driver settles it from the
+flagship run's own ``generated.npz``:
+
+  * conditions: 2-shell CN2 environments = 5 atoms (exO + 2 Si + 2
+    bridging O; data/synthetic.py make_graph ordering);
+  * original angle: at node 0 between nodes 1,2 (the Si);
+  * generated angle: at the exO slot between the TWO generated Si (samples
+    whose generated composition is not exactly 2 Si are invalidated
+    symmetrically, evals/cn2.aligned_group_means);
+  * ceiling: 1-NN spectrum-space regression train->test on the TRUE
+    angles of the same CN2 conditions (evals/baseline.py), the same
+    methodology as the 1-shell measurement.
+
+Ref: CN2_evaluate.py:176-286. Writes docs/quality/flagship_ceiling.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def angle_at(center, a, b):
+    u = a - center
+    v = b - center
+    c = np.dot(u, v) / max(np.linalg.norm(u) * np.linalg.norm(v), 1e-12)
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", type=str, default="runs/q_predef_r2")
+    p.add_argument("--out", type=str,
+                   default="docs/quality/flagship_ceiling.json")
+    args = p.parse_args()
+
+    from diffusion_model_tpu.config import from_dict
+    from diffusion_model_tpu.data.split import split_dataset
+    from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+    from diffusion_model_tpu.evals import (
+        aligned_group_means,
+        nn_ceiling_r2,
+        r2score,
+    )
+
+    with open(os.path.join(args.run_dir, "config.json")) as f:
+        cfg = from_dict(json.load(f))
+    g = cfg.gen_num_per_spectrum
+
+    # deterministic dataset reconstruction (same seed => same split)
+    graphs = synthetic_sio2_dataset(cfg.seed, 256, cfg.n_max,
+                                    spectrum_size=cfg.spectrum_size,
+                                    shells=2)
+    train_set, _, test_set = split_dataset(graphs, cfg.seed)
+
+    data = np.load(os.path.join(args.run_dir, "generated.npz"),
+                   allow_pickle=True)
+    mask = np.asarray(data["mask"])
+    accepted = np.asarray(data["accepted"]).astype(bool)
+    gen_pos = np.asarray(data["generated_pos"])
+    gen_species = np.asarray(data["generated_species"])
+    orig_pos = np.asarray(data["original_pos"])
+    n_real = mask.sum(-1).astype(int)
+
+    # 2-shell CN2 condition = 5 real atoms
+    ang_o = np.full(len(mask), np.nan)
+    ang_g = np.full(len(mask), np.nan)
+    invalid = np.ones(len(mask), bool)
+    n_cn2_samples = 0
+    for i in range(len(mask)):
+        if n_real[i] != 5 or not accepted[i]:
+            continue
+        n_cn2_samples += 1
+        # original: generator ordering puts the two Si at rows 1,2
+        ang_o[i] = angle_at(orig_pos[i, 0], orig_pos[i, 1], orig_pos[i, 2])
+        # generated: find the two generated Si among the real rows
+        sp = gen_species[i, :5].argmax(-1)  # 0=O, 1=Si
+        si_rows = np.nonzero(sp == 1)[0]
+        if len(si_rows) != 2 or 0 in si_rows:
+            continue  # wrong composition -> invalid sample
+        ang_g[i] = angle_at(gen_pos[i, 0], gen_pos[i, si_rows[0]],
+                            gen_pos[i, si_rows[1]])
+        invalid[i] = False
+
+    avg_o, avg_g = aligned_group_means(ang_o, ang_g, g, invalid=invalid)
+    model_r2 = r2score(avg_o, avg_g)
+    model_mae = float(np.mean(np.abs(avg_o - avg_g)))
+
+    tr = [gr for gr in train_set if gr["cn"] == 2]
+    te = [gr for gr in test_set if gr["cn"] == 2]
+    true_angle = lambda gr: angle_at(gr["pos"][0], gr["pos"][1],
+                                     gr["pos"][2])
+    ceiling = nn_ceiling_r2(
+        np.stack([gr["spectrum"][0] for gr in tr]),
+        np.asarray([true_angle(gr) for gr in tr]),
+        np.stack([gr["spectrum"][0] for gr in te]),
+        np.asarray([true_angle(gr) for gr in te]),
+    )
+
+    out = {
+        "config": "flagship_3000ep_2shell_n16 (runs/q_predef_r2)",
+        "num_cn2_test_conditions": len(te),
+        "num_cn2_train_conditions": len(tr),
+        "num_cn2_samples": int(n_cn2_samples),
+        "num_valid_groups": int(len(avg_o)),
+        "cn2_angle_r2_model": round(model_r2, 4),
+        "cn2_angle_mae_deg_model": round(model_mae, 3),
+        "cn2_angle_r2_nn_ceiling": round(float(ceiling), 4),
+        "gap_to_ceiling": round(float(ceiling) - model_r2, 4),
+        "note": "generated Si identified by argmax species among the 5 "
+                "real rows; samples with wrong composition invalidated "
+                "symmetrically before the per-condition group means",
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,53 +108,45 @@ def main():
     )
     rdf_cos = np.asarray([r["cos"] for r in rdf_rows])
 
-    # Angle parity the reference's way (ref CN2_evaluate.py:176-286):
-    # restrict to CN2 conditions (exactly 3 atoms), per-sample angle at the
-    # exO between the two Si, averaged over gen_num samples per condition.
+    # Angle parity the reference's way (ref CN2_evaluate.py:176-286),
+    # shell-agnostic: CN2 conditions are 3 atoms on 1-shell data, 5 on
+    # 2-shell; generated Si are located by species argmax
+    # (evals.conditional_angle_parity — the fixed-row readout this
+    # replaces silently measured exO-Si-O angles on 2-shell data).
+    from diffusion_model_tpu.evals import conditional_angle_parity
+
     g = cfg.gen_num_per_spectrum
-    n_real = results["mask"].sum(-1)
-    cn2_rows = np.nonzero((n_real == 3) & results["accepted"])[0]
     angle_r2 = None
     angle_mae = None
-    if len(cn2_rows) >= 2 * g:
-        ang_o_all = np.full(len(results["ids"]), np.nan)
-        ang_g_all = np.full(len(results["ids"]), np.nan)
-        ang_o_all[cn2_rows] = np.asarray(
-            cn2_angle_deg(results["original_pos"][cn2_rows][:, :3])
-        )
-        ang_g_all[cn2_rows] = np.asarray(
-            cn2_angle_deg(results["generated_pos"][cn2_rows][:, :3])
-        )
-        from diffusion_model_tpu.evals import aligned_group_means
-
-        avg_o, avg_g = aligned_group_means(ang_o_all, ang_g_all, g)
-        n = len(avg_o)
-        if n >= 3:
-            angle_r2 = r2score(avg_o[:n], avg_g[:n])
-            angle_mae = float(np.mean(np.abs(avg_o[:n] - avg_g[:n])))
-            fig, ax = plt.subplots(figsize=(6, 6))
-            ax.plot([0, 180], [0, 180], "-", color="red", alpha=0.5)
-            ax.plot(avg_o[:n], avg_g[:n], "o", alpha=0.6)
-            ax.set_xlabel("original Si-exO-Si angle [deg]")
-            ax.set_ylabel("generated Si-exO-Si angle [deg]")
-            ax.set_title(f"CN2 angle parity (R^2 = {angle_r2:.3f})")
-            logger.log_figure("cn2_angle_parity", fig)
-            plt.close(fig)
+    avg_o, avg_g = conditional_angle_parity(results, g)
+    if len(avg_o) >= 3:
+        angle_r2 = r2score(avg_o, avg_g)
+        angle_mae = float(np.mean(np.abs(avg_o - avg_g)))
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.plot([0, 180], [0, 180], "-", color="red", alpha=0.5)
+        ax.plot(avg_o, avg_g, "o", alpha=0.6)
+        ax.set_xlabel("original Si-exO-Si angle [deg]")
+        ax.set_ylabel("generated Si-exO-Si angle [deg]")
+        ax.set_title(f"CN2 angle parity (R^2 = {angle_r2:.3f})")
+        logger.log_figure("cn2_angle_parity", fig)
+        plt.close(fig)
 
     # Information ceiling: a 1-NN regressor in spectrum space bounds what
     # any conditional model can extract (evals/baseline.py). Computed on
-    # TRUE angles of 3-atom (CN2) conditions, train -> test.
+    # TRUE angles of the CN2 conditions, train -> test.
     angle_nn_ceiling = None
-    tr3 = [g for g in train_set if g["pos"].shape[0] == 3]
-    te3 = [g for g in test_set if g["pos"].shape[0] == 3]
-    if angle_r2 is not None and len(tr3) >= 3 and len(te3) >= 3:
+    tr2 = [gr for gr in train_set if gr.get("cn") == 2]
+    te2 = [gr for gr in test_set if gr.get("cn") == 2]
+    if angle_r2 is not None and len(tr2) >= 3 and len(te2) >= 3:
         from diffusion_model_tpu.evals import nn_ceiling_r2
 
         angle_nn_ceiling = nn_ceiling_r2(
-            np.stack([g["spectrum"][0] for g in tr3]),
-            np.asarray(cn2_angle_deg(np.stack([g["pos"] for g in tr3]))),
-            np.stack([g["spectrum"][0] for g in te3]),
-            np.asarray(cn2_angle_deg(np.stack([g["pos"] for g in te3]))),
+            np.stack([gr["spectrum"][0] for gr in tr2]),
+            np.asarray(cn2_angle_deg(
+                np.stack([gr["pos"][:3] for gr in tr2]))),
+            np.stack([gr["spectrum"][0] for gr in te2]),
+            np.asarray(cn2_angle_deg(
+                np.stack([gr["pos"][:3] for gr in te2]))),
         )
 
     out = {
