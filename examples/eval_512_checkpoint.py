@@ -1,0 +1,122 @@
+"""Evaluate a trained 512-atom checkpoint around the TPU-worker crash.
+
+Round-2 left ``runs/size_gen_512k32`` trained (2000 epochs, kNN-32) but
+unevaluated: its 512-atom/1000-step/16-sample sampling program reproducibly
+crashed the remote TPU worker. This driver shrinks the compiled program
+until it survives — strided sampling (``--sample_steps``, default 250,
+RDF-parity-validated in docs/quality/strided_eval.json) and a small
+per-call condition batch (``--chunk``, default 2 conditions x
+gen_num_per_spectrum samples per jitted call) — then scores the checkpoint
+with the same distribution-level metrics as examples/size_generalization.py
+(aggregate RDF cosine, NN-distance medians, O-density MAE).
+
+Reference capability being matched: amorphous generation at large cell
+sizes (ref generate_amorphous.py:25-147).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def nn_distances(pos, mask):
+    n = int(mask.sum())
+    p = pos[:n]
+    d = np.linalg.norm(p[:, None] - p[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    return d.min(1)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", type=str, default="runs/size_gen_512k32")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--gen_cells", type=int, default=8)
+    p.add_argument("--chunk", type=int, default=2,
+                   help="conditions per jitted sampling call")
+    p.add_argument("--sample_steps", type=int, default=250)
+    p.add_argument("--sample_grid", type=str, default="uniform")
+    p.add_argument("--out", type=str, default="")
+    args = p.parse_args()
+
+    from diffusion_model_tpu import api
+    from diffusion_model_tpu.config import from_dict
+    from diffusion_model_tpu.data.batch import collate
+    from diffusion_model_tpu.data.synthetic import amorphous_cell
+    from diffusion_model_tpu.evals import rdf_metrics
+    from diffusion_model_tpu.evals.density import o_density
+    from diffusion_model_tpu.ops.rdf import rdf_from_exo
+
+    with open(os.path.join(args.run_dir, "config.json")) as f:
+        cfg = from_dict(json.load(f))
+    print(f"devices: {jax.devices()}", flush=True)
+    print(f"loaded cfg: n_max={cfg.n_max} k={cfg.neighbor_k}", flush=True)
+
+    # template batch only shapes the parameter tree; content is irrelevant
+    example_cells = [
+        amorphous_cell(seed=1, num_atoms=cfg.n_max,
+                       spectrum_size=cfg.spectrum_size)
+    ]
+    example = collate(example_cells, cfg.n_max)
+    trainer, state = api.load_trained(args.run_dir, cfg, example)
+    print("checkpoint restored", flush=True)
+
+    cfg_s = cfg.replace(
+        n_max=args.size,
+        sample_steps=args.sample_steps,
+        sample_grid=args.sample_grid,
+    )
+    cells = [
+        amorphous_cell(seed=10_000 + args.size + i, num_atoms=args.size,
+                       spectrum_size=cfg.spectrum_size)
+        for i in range(args.gen_cells)
+    ]
+    t0 = time.time()
+    res = api.generate(cfg_s, trainer, state, cells,
+                       batch_size=args.chunk)
+    gen_s = time.time() - t0
+    keep = np.nonzero(res["accepted"])[0]
+    finite = float(res["finite"].mean())
+    row = {"finite_fraction": finite, "accepted": int(len(keep)),
+           "generate_seconds": round(gen_s, 1),
+           "sample_steps": args.sample_steps,
+           "sample_grid": args.sample_grid,
+           "chunk": args.chunk}
+    if len(keep):
+        gp = res["generated_pos"][keep]
+        op = res["original_pos"][keep]
+        m = res["mask"][keep]
+        rdf_g = np.mean([np.asarray(rdf_from_exo(p_, m_))
+                         for p_, m_ in zip(gp, m)], axis=0)
+        rdf_o = np.mean([np.asarray(rdf_from_exo(p_, m_))
+                         for p_, m_ in zip(op, m)], axis=0)
+        row["aggregate_rdf_cos"] = round(
+            float(rdf_metrics(rdf_o, rdf_g)["cos"]), 4)
+        row["nn_dist_median_generated"] = round(float(np.median(
+            np.concatenate([nn_distances(p_, m_)
+                            for p_, m_ in zip(gp, m)]))), 3)
+        row["nn_dist_median_original"] = round(float(np.median(
+            np.concatenate([nn_distances(p_, m_)
+                            for p_, m_ in zip(op, m)]))), 3)
+        dens_g = o_density(res["generated_species"][keep], m)
+        dens_o = o_density(res["original_species"][keep], m)
+        row["o_density_mae"] = round(
+            float(np.mean(np.abs(dens_o - dens_g))), 4)
+    out = {"config": f"{os.path.basename(args.run_dir)}_eval_n{args.size}",
+           "result": row}
+    out_path = args.out or os.path.join(
+        args.run_dir, f"eval_n{args.size}_s{args.sample_steps}.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,12 @@ def main():
     p.add_argument("--sizes", type=str, default="72,96,144,192")
     p.add_argument("--gen_cells", type=int, default=8,
                    help="conditions per evaluation size")
+    p.add_argument("--chunk", type=int, default=4,
+                   help="conditions per jitted sampling call — large "
+                        "512-atom programs crash the remote TPU worker "
+                        "(docs/ROADMAP.md), chunk them small")
+    p.add_argument("--sample_steps", type=int, default=0,
+                   help="strided sampling step count (0 = full chain)")
     args = p.parse_args()
 
     from diffusion_model_tpu import api
@@ -80,14 +86,15 @@ def main():
 
     results = {}
     for size in [int(s) for s in args.sizes.split(",")]:
-        cfg_s = cfg.replace(n_max=size)
+        cfg_s = cfg.replace(n_max=size, sample_steps=args.sample_steps)
         cells = [
             amorphous_cell(seed=10_000 + size + i, num_atoms=size,
                            spectrum_size=cfg.spectrum_size)
             for i in range(args.gen_cells)
         ]
         t0 = time.time()
-        res = api.generate(cfg_s, trainer, state, cells)
+        res = api.generate(cfg_s, trainer, state, cells,
+                           batch_size=args.chunk)
         gen_s = time.time() - t0
         keep = np.nonzero(res["accepted"])[0]
         finite = float(res["finite"].mean())
