@@ -82,6 +82,7 @@ class TestApi:
 
 
 class TestResume:
+    @pytest.mark.slow
     def test_mid_training_resume(self, tmp_path):
         """Interrupt at epoch 6, resume to 12; metrics show both phases."""
         cfg = Config(
@@ -143,6 +144,7 @@ class TestNanRecovery:
 
 
 class TestTrajectory:
+    @pytest.mark.slow
     def test_generate_trajectory_and_movie(self, tmp_path):
         from diffusion_model_tpu.data.xyz import write_xyz_trajectory
 
@@ -171,6 +173,7 @@ class TestTrajectory:
 
 
 class TestSizePrediction:
+    @pytest.mark.slow
     def test_generate_with_predicted_sizes(self, tmp_path):
         """Full predicted-size pipeline: CN MLP chooses the atom count
         (the reference hardcodes the true size with a 'should be

@@ -27,6 +27,7 @@ def micro_yaml(tmp_path):
 
 
 class TestMainCLI:
+    @pytest.mark.slow
     def test_train_and_generate_then_evaluate_only(self, tmp_path,
                                                    micro_yaml):
         run_dir = str(tmp_path / "run")
@@ -47,6 +48,7 @@ class TestMainCLI:
             "--synthetic", "24",
         ])
 
+    @pytest.mark.slow
     def test_dataset_npz_path(self, tmp_path, micro_yaml):
         ds = synthetic_sio2_dataset(0, 16, 8, spectrum_size=16)
         ds_path = str(tmp_path / "ds.npz")
@@ -68,6 +70,7 @@ class TestMainCLI:
 
 
 class TestGenerateAmorphousCLI:
+    @pytest.mark.slow
     def test_runs_on_trained_dir(self, tmp_path, micro_yaml):
         from diffusion_model_tpu.cli import generate_amorphous
 

@@ -173,6 +173,7 @@ class TestSampler:
         assert np.all(sp[mask == 0] == 0)
         assert np.all(np.asarray(res.pos)[mask == 0] == 0)
 
+    @pytest.mark.slow
     def test_deterministic_given_key(self):
         cfg = small_cfg(**self.NOISE_KW)
         cond, fn = self._setup(cfg)
@@ -193,6 +194,7 @@ class TestSampler:
         traj_pos, traj_h = res.trajectory
         assert traj_pos.shape == (4, 2, cfg.n_max, 3)
 
+    @pytest.mark.slow
     def test_retry_and_tile(self):
         cfg = small_cfg(**self.NOISE_KW)
         cond, fn = self._setup(cfg)
@@ -205,6 +207,7 @@ class TestSampler:
 
 
 class TestStridedSampler:
+    @pytest.mark.slow
     def test_full_steps_unchanged(self):
         cfg = small_cfg(noise_precision=0.05)
         cond = make_cond(cfg, b=2, n_real=4)
@@ -308,6 +311,7 @@ class TestSnrGrid:
 
 
 class TestDeterministicSampling:
+    @pytest.mark.slow
     def test_only_init_noise_matters(self):
         """DDIM eta=0: two different scan keys with the same init noise give
         identical structures; different init noise differs."""

@@ -112,6 +112,7 @@ class TestStepCoeffs:
 
 
 class TestProgressiveDistill:
+    @pytest.mark.slow
     def test_student_tracks_teacher_better_than_raw_few_step(self):
         """Distil an 8-step teacher to 2 steps; the student's 2-step
         deterministic samples must land closer to the teacher's 8-step

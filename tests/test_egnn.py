@@ -165,6 +165,7 @@ class TestGamma:
 
 
 class TestCompressor:
+    @pytest.mark.slow
     def test_shapes(self, rng):
         net = SpectrumCompressor()
         s = jnp.asarray(rng.normal(size=(2, 5, 200)), jnp.float32)
@@ -174,6 +175,7 @@ class TestCompressor:
 
 
 class TestDenoiser:
+    @pytest.mark.slow
     def test_shapes_and_com(self, rng):
         cfg = Config(n_max=8, L=2, m_hidden_size=32, h_hidden_size=32,
                      x_hidden_size=32, m_size=16)
@@ -202,6 +204,7 @@ class TestDenoiser:
             np.testing.assert_allclose(np.asarray(eps_x[g])[~m], 0.0)
             np.testing.assert_allclose(np.asarray(eps_h[g])[~m], 0.0)
 
+    @pytest.mark.slow
     def test_param_count_matches_reference_scale(self):
         """Full-size model should land in the reference's ~8-9M param range
         (SURVEY.md §6: L=5, hidden 1024, m_size 256, h_size 36)."""

@@ -30,6 +30,7 @@ def tiny_cfg(**kw):
 
 
 class TestKnnEquivalence:
+    @pytest.mark.slow
     def test_full_k_matches_dense(self, rng):
         """K = N-1 neighbour lists must reproduce the dense result exactly
         (same edges, same math)."""
@@ -57,6 +58,7 @@ class TestKnnEquivalence:
                                    np.asarray(knn_out[1]),
                                    rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.slow
     def test_knn_training_and_sampling(self):
         cfg = tiny_cfg(neighbor_k=4)
         trainer = Trainer(cfg)
@@ -72,6 +74,7 @@ class TestKnnEquivalence:
                      jax.random.key(2), batch)
         assert bool(jnp.all(res.finite))
 
+    @pytest.mark.slow
     def test_large_cell_smoke(self):
         """Config #4 shape: a big padded cell through the kNN path."""
         cfg = tiny_cfg(n_max=128, neighbor_k=8, batch_size=1)

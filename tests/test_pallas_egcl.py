@@ -37,6 +37,7 @@ def make_setup(n_max=16, b=2, zero_init=False):
 
 
 class TestPallasEGCL:
+    @pytest.mark.slow
     def test_matches_xla_path(self):
         cfg, model, params, args = make_setup()
         want_x, want_h = model.apply(params, *args)
@@ -68,6 +69,7 @@ class TestPallasEGCL:
 
 
 class TestPallasSamplerIntegration:
+    @pytest.mark.slow
     def test_api_generate_use_pallas(self, tmp_path):
         """cfg.use_pallas routes api.generate through the fused kernel
         (interpreter on CPU)."""
@@ -144,6 +146,7 @@ class TestPallasVJP:
                                        err_msg=f"grad arg {i}")
             assert np.isfinite(np.asarray(a)).all()
 
+    @pytest.mark.slow
     def test_end_to_end_pos_grad_matches_dense_path(self):
         """d loss / d positions through the full fast path equals the XLA
         dense model's gradient (independent code path as oracle)."""

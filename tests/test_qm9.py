@@ -113,6 +113,7 @@ class TestLoadQm9Dataset:
 
 
 class TestQm9CLI:
+    @pytest.mark.slow
     def test_train_smoke(self, qm9_dir, tmp_path):
         """The reference's QM9 smoke run (ref main.py:145-152): widened
         atom_type_size, unconditional, end-to-end through the trainer."""

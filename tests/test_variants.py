@@ -36,6 +36,7 @@ def data_and_batch(cfg, num=8):
 
 
 class TestPosOnly:
+    @pytest.mark.slow
     def test_train_step_and_sampling(self):
         cfg = tiny_cfg(diffuse_species=False)
         trainer = Trainer(cfg)
@@ -52,6 +53,7 @@ class TestPosOnly:
                                       np.asarray(batch.species))
         assert bool(jnp.all(res.finite))
 
+    @pytest.mark.slow
     def test_h_excluded_from_loss(self):
         """Pos-only loss must not depend on the h-branch prediction."""
         cfg = tiny_cfg(diffuse_species=False)
@@ -67,6 +69,7 @@ class TestPosOnly:
 
 
 class TestKabschLoss:
+    @pytest.mark.slow
     def test_adds_coordinate_term(self):
         cfg = tiny_cfg(kabsch_loss=True, kabsch_loss_steps=5)
         trainer = Trainer(cfg)
@@ -84,6 +87,7 @@ class TestKabschLoss:
 
 
 class TestSpectrumLatent:
+    @pytest.mark.slow
     def test_autoencoder_and_encoding(self, rng):
         spectra = rng.random((32, 40)).astype(np.float32)
         enc, enc_p, dec, dec_p, mse = pretrain_autoencoder(
@@ -98,6 +102,7 @@ class TestSpectrumLatent:
         assert g["spectrum"].shape[1] == 8
         assert np.all(g["spectrum"][1:] == 0)
 
+    @pytest.mark.slow
     def test_latent_conditioned_training(self, rng):
         cfg = tiny_cfg(spectrum_to_latent=True, to_compress_spectrum=False,
                        latent_dim=8)
@@ -127,6 +132,7 @@ class TestProfiling:
 
 
 class TestUnconditional:
+    @pytest.mark.slow
     def test_unconditional_training_and_sampling(self):
         """conditional=False drops the spectrum features entirely
         (ref main.py:107-108: h_size = atom_type + t)."""
@@ -153,6 +159,7 @@ class TestUnconditional:
 
 
 class TestKabschLossPaddedBatch:
+    @pytest.mark.slow
     def test_no_nan_grads_with_zero_mask_rows(self):
         """kabsch_loss over a batch containing zero-mask padding rows must
         yield finite gradients (degenerate-SVD hazard) and average the RMSD
@@ -174,6 +181,7 @@ class TestKabschLossPaddedBatch:
 
 
 class TestClassifierFreeGuidance:
+    @pytest.mark.slow
     def test_dropout_training_and_guided_sampling(self):
         cfg = tiny_cfg(cond_dropout_prob=0.3)
         trainer = Trainer(cfg)
