@@ -134,6 +134,14 @@ class Config:
     # zero-init the final coordinate-MLP layer so the untrained net is the
     # identity on positions (standard diffusion practice; the reference
     # instead survives early-training NaNs via its runtime retry loop).
+    global_radius_feature: bool = False
+    # append log1p(|x - CoM|) to every node's input features (an E(3)-
+    # invariant global-envelope signal). With kNN edges a node's receptive
+    # field is purely local, so the score cannot shape the GLOBAL density
+    # envelope of a large cell (mid-range order) — nodes at the box edge
+    # and centre look locally identical; this scalar breaks that
+    # degeneracy at O(N) cost. Off by default (the reference's dense
+    # topology is global already).
     debug_nans: bool = False        # jax.debug analogue of torch anomaly mode
     mesh_shape: Sequence[int] = ()  # empty = single device
     mesh_axis_names: Sequence[str] = ("data",)
@@ -161,6 +169,8 @@ class Config:
         size = self.atom_type_size + self.cond_spectrum_size + self.t_size
         if self.give_exO:
             size += self.exO_size
+        if self.global_radius_feature:
+            size += 1
         return size
 
     @property

@@ -62,6 +62,22 @@ class DiffusionDenoiser(nn.Module):
                 feats.append(spectrum)
         if cfg.give_exO:
             feats.append(exo)
+        if cfg.global_radius_feature:
+            # E(3)-invariant global-envelope signal: log1p of each node's
+            # distance to the masked CoM. Local (kNN) message passing
+            # cannot see the global density envelope of a large cell;
+            # this scalar restores that information at O(N) cost
+            # (see config.global_radius_feature).
+            m3 = node_mask[..., None].astype(pos_t.dtype)
+            count = jnp.maximum(
+                jnp.sum(node_mask, axis=-1, keepdims=True), 1.0
+            )[..., None]
+            com = jnp.sum(pos_t * m3, axis=1, keepdims=True) / count
+            d2 = jnp.sum((pos_t - com) ** 2, axis=-1, keepdims=True)
+            # safe-sqrt: padded rows hit d2=|com|^2 != 0 only via masked
+            # inputs; clamp anyway so the origin node's gradient is finite
+            r = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            feats.append(jnp.log1p(r) * m3)
         feats.append(t_norm)
         h_in = jnp.concatenate(feats, axis=-1)
 

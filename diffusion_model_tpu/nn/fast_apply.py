@@ -45,6 +45,11 @@ def fast_denoise_fn(cfg: Config, denoiser_params,
     """Build ``(species_ch, pos, spectrum, exo, t_norm, mask, pair_mask) ->
     (eps_x, eps_h)`` matching ``DiffusionDenoiser.apply`` over the same
     params, with Pallas EGCL edge kernels."""
+    if cfg.global_radius_feature:
+        raise NotImplementedError(
+            "global_radius_feature is not wired into the Pallas fast path"
+            " — use the XLA path (use_pallas=False)"
+        )
     p = denoiser_params["params"]
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size

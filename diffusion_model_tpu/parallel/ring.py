@@ -134,6 +134,11 @@ def ring_denoise_apply(cfg: Config, mesh: Mesh, axis: str = "data"):
     -analogue *training* path for cells too big for one chip's pair grid
     (SURVEY.md §2.6).
     """
+    if cfg.global_radius_feature:
+        raise NotImplementedError(
+            "global_radius_feature is not wired into the ring path — the "
+            "masked-CoM radius needs a psum prologue; use the XLA path"
+        )
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size
     ndev = mesh.devices.size
