@@ -52,6 +52,10 @@ def main():
                         "(docs/ROADMAP.md), chunk them small")
     p.add_argument("--sample_steps", type=int, default=0,
                    help="strided sampling step count (0 = full chain)")
+    p.add_argument("--global_radius", action="store_true",
+                   help="append the |x - CoM| global-envelope feature "
+                        "(config.global_radius_feature) — the mid-range-"
+                        "order fix for kNN topologies")
     args = p.parse_args()
 
     from diffusion_model_tpu import api
@@ -68,6 +72,7 @@ def main():
         num_diffusion_timestep=args.timesteps, num_epochs=args.epochs,
         lr=2e-4, optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
         gen_num_per_spectrum=2,
+        global_radius_feature=args.global_radius,
     )
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(cfg.seed)
