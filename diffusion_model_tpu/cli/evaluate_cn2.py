@@ -15,9 +15,9 @@ import numpy as np
 from diffusion_model_tpu.cli.common import load_results
 from diffusion_model_tpu.evals import (
     aligned_group_means,
-    cn2_statistics,
     r2score,
 )
+from diffusion_model_tpu.evals.cn2 import _cn2_sample_geometry
 from diffusion_model_tpu.utils.logging import RunLogger, load_run_config
 
 
@@ -28,17 +28,18 @@ def main(argv=None):
 
     cfg = load_run_config(args.run_dir)
     # accepted_only=False: group means need the contiguous groups-of-g
-    # layout; rejected rows are NaN-filled so their groups drop out of
-    # per_graph_group_means instead of shifting later groups
+    # layout; rejected/invalid rows are NaN-filled so their groups drop
+    # out of per_graph_group_means instead of shifting later groups
     results = load_results(args.run_dir, accepted_only=False)
     logger = RunLogger(args.run_dir)
     g = cfg.gen_num_per_spectrum
-    rejected = ~results["accepted"].astype(bool)
 
-    stats_o = cn2_statistics(results["original_pos"][:, :3])
-    stats_g = cn2_statistics(results["generated_pos"][:, :3])
+    # shell-agnostic CN2 readout: originals from rows 1,2, generated Si
+    # located by species argmax (evals/cn2._cn2_sample_geometry — the
+    # fixed-row readout measured exO-Si-O geometry on 2-shell data)
+    geo = _cn2_sample_geometry(results)
     avg_theta, avg_phi = aligned_group_means(
-        stats_o["angle_deg"], stats_g["angle_deg"], g, invalid=rejected
+        geo["angle_o"], geo["angle_g"], g, invalid=geo["invalid"]
     )
     n = len(avg_theta)
     r2 = r2score(avg_theta, avg_phi)
@@ -65,9 +66,9 @@ def main(argv=None):
     logger.log_figure("cn2_angle_scatter", fig)
     plt.close(fig)
 
-    bonds_orig = np.concatenate([stats_o["bond1"], stats_o["bond2"]])
-    bonds_gen = np.concatenate([stats_g["bond1"], stats_g["bond2"]])
-    rejected2 = np.concatenate([rejected, rejected])
+    bonds_orig = np.concatenate([geo["bond1_o"], geo["bond2_o"]])
+    bonds_gen = np.concatenate([geo["bond1_g"], geo["bond2_g"]])
+    rejected2 = np.concatenate([geo["invalid"], geo["invalid"]])
     avg_bo, avg_bg = aligned_group_means(bonds_orig, bonds_gen, g,
                                          invalid=rejected2)
     r2_bond = r2score(avg_bo, avg_bg)

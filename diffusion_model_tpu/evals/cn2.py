@@ -80,21 +80,19 @@ def r2score(a, b) -> float:
     return float(1 - np.sum(resid**2) / t_yy)
 
 
-def conditional_angle_parity(results: dict, group: int):
-    """Per-condition Si-exO-Si angle pairs (original, generated) for the
-    CN2 conditions of an ``api.generate`` result, shell-agnostic.
-
-    CN2 conditions are 3 real atoms on 1-shell data (exO + 2 Si) or 5 on
-    2-shell data (+ 2 bridging O; data/synthetic.py make_graph ordering
-    puts the Si at rows 1,2 either way). The ORIGINAL angle reads rows
-    1,2; the GENERATED angle locates the two Si by species argmax over the
-    real rows — a sample whose generated composition is not exactly two
-    non-exO Si is invalidated (symmetrically, so the group pairing holds).
-    Round 2's fixed-row readout silently measured exO-Si-O angles on
-    2-shell data (the 0.67 "flagship gap" artifact); ref
+def _cn2_sample_geometry(results: dict):
+    """Per-sample CN2 geometry, shell-agnostic: original angle/bonds from
+    rows 1,2 (data/synthetic.py make_graph puts the Si there on 1- AND
+    2-shell data), generated angle/bonds from the two Si located by
+    species argmax over the real rows. A sample that is not a CN2
+    condition (3 or 5 real atoms), is rejected, or whose generated
+    composition is not exactly two non-exO Si is marked invalid. Round
+    2's fixed-row readout silently measured exO-Si-O geometry on 2-shell
+    data (the 0.67 "flagship angle gap" artifact); ref
     CN2_evaluate.py:176-286 for the metric itself.
 
-    Returns ``(avg_o, avg_g)`` aligned per-condition group means.
+    Returns dict of per-sample arrays: angle_o/angle_g [deg],
+    bond1_o/bond2_o/bond1_g/bond2_g [A], invalid [bool].
     """
     mask = np.asarray(results["mask"])
     accepted = np.asarray(results["accepted"]).astype(bool)
@@ -110,22 +108,50 @@ def conditional_angle_parity(results: dict, group: int):
         return np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))
 
     n = len(mask)
-    ang_o = np.full(n, np.nan)
-    ang_g = np.full(n, np.nan)
+    out = {k: np.full(n, np.nan) for k in
+           ("angle_o", "angle_g", "bond1_o", "bond2_o", "bond1_g",
+            "bond2_g")}
     invalid = np.ones(n, bool)
     for i in range(n):
         if n_real[i] not in (3, 5) or not accepted[i]:
             continue
         k = n_real[i]
-        ang_o[i] = angle(orig_pos[i, 0], orig_pos[i, 1], orig_pos[i, 2])
+        out["angle_o"][i] = angle(orig_pos[i, 0], orig_pos[i, 1],
+                                  orig_pos[i, 2])
+        out["bond1_o"][i] = np.linalg.norm(orig_pos[i, 1] - orig_pos[i, 0])
+        out["bond2_o"][i] = np.linalg.norm(orig_pos[i, 2] - orig_pos[i, 0])
         sp = gen_species[i, :k].argmax(-1)  # 0=O, 1=Si
         si_rows = np.nonzero(sp == 1)[0]
         if len(si_rows) != 2 or 0 in si_rows:
             continue
-        ang_g[i] = angle(gen_pos[i, 0], gen_pos[i, si_rows[0]],
-                         gen_pos[i, si_rows[1]])
+        out["angle_g"][i] = angle(gen_pos[i, 0], gen_pos[i, si_rows[0]],
+                                  gen_pos[i, si_rows[1]])
+        out["bond1_g"][i] = np.linalg.norm(
+            gen_pos[i, si_rows[0]] - gen_pos[i, 0])
+        out["bond2_g"][i] = np.linalg.norm(
+            gen_pos[i, si_rows[1]] - gen_pos[i, 0])
         invalid[i] = False
-    return aligned_group_means(ang_o, ang_g, group, invalid=invalid)
+    out["invalid"] = invalid
+    return out
+
+
+def conditional_angle_parity(results: dict, group: int):
+    """Aligned per-condition group means of (original, generated)
+    Si-exO-Si angles for the CN2 conditions of an ``api.generate`` result
+    (see ``_cn2_sample_geometry`` for the shell-agnostic readout)."""
+    geo = _cn2_sample_geometry(results)
+    return aligned_group_means(geo["angle_o"], geo["angle_g"], group,
+                               invalid=geo["invalid"])
+
+
+def conditional_bond_parity(results: dict, group: int):
+    """Aligned per-condition group means of the two Si-exO bond lengths
+    (both bonds concatenated, reference style ref CN2_evaluate.py)."""
+    geo = _cn2_sample_geometry(results)
+    bonds_o = np.concatenate([geo["bond1_o"], geo["bond2_o"]])
+    bonds_g = np.concatenate([geo["bond1_g"], geo["bond2_g"]])
+    invalid = np.concatenate([geo["invalid"], geo["invalid"]])
+    return aligned_group_means(bonds_o, bonds_g, group, invalid=invalid)
 
 
 def filter_si_o_si(pos: np.ndarray, species: np.ndarray, mask: np.ndarray,

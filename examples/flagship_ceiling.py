@@ -48,7 +48,7 @@ def main():
     from diffusion_model_tpu.data.split import split_dataset
     from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
     from diffusion_model_tpu.evals import (
-        aligned_group_means,
+        conditional_angle_parity,
         nn_ceiling_r2,
         r2score,
     )
@@ -65,34 +65,15 @@ def main():
 
     data = np.load(os.path.join(args.run_dir, "generated.npz"),
                    allow_pickle=True)
-    mask = np.asarray(data["mask"])
-    accepted = np.asarray(data["accepted"]).astype(bool)
-    gen_pos = np.asarray(data["generated_pos"])
-    gen_species = np.asarray(data["generated_species"])
-    orig_pos = np.asarray(data["original_pos"])
-    n_real = mask.sum(-1).astype(int)
+    results = {k: np.asarray(data[k]) for k in
+               ("mask", "accepted", "generated_pos", "generated_species",
+                "original_pos")}
+    n_real = results["mask"].sum(-1).astype(int)
+    n_cn2_samples = int(
+        ((n_real == 5) & results["accepted"].astype(bool)).sum())
 
-    # 2-shell CN2 condition = 5 real atoms
-    ang_o = np.full(len(mask), np.nan)
-    ang_g = np.full(len(mask), np.nan)
-    invalid = np.ones(len(mask), bool)
-    n_cn2_samples = 0
-    for i in range(len(mask)):
-        if n_real[i] != 5 or not accepted[i]:
-            continue
-        n_cn2_samples += 1
-        # original: generator ordering puts the two Si at rows 1,2
-        ang_o[i] = angle_at(orig_pos[i, 0], orig_pos[i, 1], orig_pos[i, 2])
-        # generated: find the two generated Si among the real rows
-        sp = gen_species[i, :5].argmax(-1)  # 0=O, 1=Si
-        si_rows = np.nonzero(sp == 1)[0]
-        if len(si_rows) != 2 or 0 in si_rows:
-            continue  # wrong composition -> invalid sample
-        ang_g[i] = angle_at(gen_pos[i, 0], gen_pos[i, si_rows[0]],
-                            gen_pos[i, si_rows[1]])
-        invalid[i] = False
-
-    avg_o, avg_g = aligned_group_means(ang_o, ang_g, g, invalid=invalid)
+    # shell-agnostic readout shared with cli/evaluate_cn2 and quality_demo
+    avg_o, avg_g = conditional_angle_parity(results, g)
     model_r2 = r2score(avg_o, avg_g)
     model_mae = float(np.mean(np.abs(avg_o - avg_g)))
 
