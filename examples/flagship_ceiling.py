@@ -89,7 +89,9 @@ def main():
     )
 
     out = {
-        "config": "flagship_3000ep_2shell_n16 (runs/q_predef_r2)",
+        "config": f"{os.path.basename(os.path.normpath(args.run_dir))} "
+                  "(2-shell n16, corrected CN2 readout)",
+        "noise_schedule": cfg.noise_schedule,
         "num_cn2_test_conditions": len(te),
         "num_cn2_train_conditions": len(tr),
         "num_cn2_samples": int(n_cn2_samples),
