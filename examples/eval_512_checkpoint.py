@@ -109,12 +109,38 @@ def main():
         dens_o = o_density(res["original_species"][keep], m)
         row["o_density_mae"] = round(
             float(np.mean(np.abs(dens_o - dens_g))), 4)
+    # radial density envelope around the cell CoM: distinguishes "locally
+    # right but globally blobby" failures (a local kNN score cannot shape
+    # the global box envelope) from genuinely matched mid-range order
+    if len(keep):
+        def radial_profile(pos, mask):
+            rows = []
+            for p_, m_ in zip(pos, mask):
+                n = int(m_.sum())
+                p = p_[:n]
+                c = p.mean(0)
+                rows.append(np.linalg.norm(p - c, axis=-1))
+            r = np.concatenate(rows)
+            qs = [5, 25, 50, 75, 95]
+            return {f"p{q}": round(float(np.percentile(r, q)), 2)
+                    for q in qs}
+
+        row["radius_profile_generated"] = radial_profile(gp, m)
+        row["radius_profile_original"] = radial_profile(op, m)
+
     out = {"config": f"{os.path.basename(args.run_dir)}_eval_n{args.size}",
            "result": row}
     out_path = args.out or os.path.join(
         args.run_dir, f"eval_n{args.size}_s{args.sample_steps}.json")
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
+    np.savez_compressed(
+        out_path.replace(".json", "") + "_positions.npz",
+        generated_pos=res["generated_pos"], original_pos=res["original_pos"],
+        mask=res["mask"], accepted=res["accepted"],
+        generated_species=res["generated_species"],
+        original_species=res["original_species"],
+    )
     print(json.dumps(out, indent=1), flush=True)
 
 

@@ -245,6 +245,20 @@ class TestStridedSampler:
         assert res.pos.shape == (2, cfg.n_max, 3)
 
 
+
+    def test_steps_beyond_table_rejected(self):
+        """sample_steps > T must raise: the snr_grid monotonicity clamp
+        would wrap leading indices into the high-noise end of the table
+        (a silently corrupt schedule) and the uniform grid degenerates."""
+        cfg = small_cfg(noise_precision=0.05).replace(
+            sample_steps=small_cfg().num_diffusion_timestep + 1)
+        cond = make_cond(cfg, b=1, n_real=4)
+        schedule = predefined_schedule(cfg)
+        with pytest.raises(ValueError, match="exceeds"):
+            sample(lambda *a: (jnp.zeros_like(cond.pos),
+                               jnp.zeros_like(cond.species)),
+                   schedule, cfg, jax.random.key(0), cond)
+
 class TestSnrGrid:
     def test_monotone_with_pinned_endpoints(self):
         from diffusion_model_tpu.diffusion.sampler import snr_grid
