@@ -107,6 +107,24 @@ def main():
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot([60, 180], [60, 180], "-", color="red", alpha=0.5)
+    ax.plot(avg_o, avg_g, "o", alpha=0.7)
+    ax.set_xlabel("original Si-exO-Si angle [deg]")
+    ax.set_ylabel("generated Si-exO-Si angle [deg]")
+    ax.set_title(
+        f"{out['config']}\nangle R$^2$ {model_r2:.3f} "
+        f"(1-NN ceiling {float(ceiling):.3f})"
+    )
+    fig.savefig(args.out.replace(".json", "") + ".png", dpi=120,
+                bbox_inches="tight")
+    plt.close(fig)
     print(json.dumps(out, indent=1))
 
 
