@@ -57,6 +57,14 @@ def main():
                         "(config.global_radius_feature) — the mid-range-"
                         "order fix for kNN topologies")
     args = p.parse_args()
+    # queued-run escape hatch: a pre-launched chained job can have its
+    # epoch budget trimmed without editing its frozen command line
+    override = "/tmp/size_gen_epochs_override"
+    if os.path.exists(override):
+        with open(override) as f:
+            args.epochs = int(f.read().strip())
+        print(f"epochs overridden to {args.epochs} via {override}",
+              flush=True)
 
     from diffusion_model_tpu import api
     from diffusion_model_tpu.config import Config
@@ -73,6 +81,7 @@ def main():
         lr=2e-4, optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
         gen_num_per_spectrum=2,
         global_radius_feature=args.global_radius,
+        checkpoint_every=500,  # long 512-atom runs survive interruption
     )
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(cfg.seed)
