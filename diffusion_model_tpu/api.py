@@ -19,7 +19,11 @@ import numpy as np
 
 from diffusion_model_tpu.config import Config
 from diffusion_model_tpu.data.batch import GraphBatch, collate
-from diffusion_model_tpu.data.split import batch_iterator, split_dataset
+from diffusion_model_tpu.data.split import (
+    batch_iterator,
+    device_batch_iterator,
+    split_dataset,
+)
 from diffusion_model_tpu.diffusion import sample, sample_with_retry
 from diffusion_model_tpu.diffusion.sampler import SampleResult, tile_batch
 from diffusion_model_tpu.evals import (
@@ -100,10 +104,16 @@ def train(cfg: Config, dataset: list, run_dir: str,
     epoch = start_epoch
     nan_recoveries = 0
     good_state = state
+    # Datasets live ON DEVICE for the whole run; epochs gather shuffled
+    # batches with jnp.take instead of re-uploading host arrays (same
+    # seeded order as batch_iterator — see device_batch_iterator for the
+    # remote-platform leak/RPC rationale).
+    train_data = collate(train_set, cfg.n_max)
+    val_data = collate(val_set, cfg.n_max) if val_set else None
     for epoch in range(start_epoch, epochs):
         key, k_tr, k_ev = jax.random.split(key, 3)
-        batches = batch_iterator(
-            train_set, cfg.batch_size, cfg.n_max, seed=cfg.seed + epoch
+        batches = device_batch_iterator(
+            train_data, cfg.batch_size, seed=cfg.seed + epoch
         )
         with timer.phase("train_epoch"):
             state, train_loss = trainer.train_epoch(state, k_tr, batches,
@@ -122,7 +132,10 @@ def train(cfg: Config, dataset: list, run_dir: str,
             state = good_state
             continue
         good_state = state
-        val_batches = batch_iterator(val_set, cfg.batch_size, cfg.n_max)
+        val_batches = (
+            device_batch_iterator(val_data, cfg.batch_size)
+            if val_data is not None else iter(())
+        )
         with timer.phase("eval_epoch"):
             eval_loss = trainer.eval_epoch(state, k_ev, val_batches,
                                            mesh=mesh)

@@ -77,7 +77,17 @@ class DiffusionDenoiser(nn.Module):
             # safe-sqrt: padded rows hit d2=|com|^2 != 0 only via masked
             # inputs; clamp anyway so the origin node's gradient is finite
             r = jnp.sqrt(jnp.maximum(d2, 1e-12))
-            feats.append(jnp.log1p(r) * m3)
+            # Zero-init learnable gate: unlike the other (noise-like)
+            # features this one varies SMOOTHLY across space, so neighbor
+            # sums add coherently (~K not ~sqrt(K) growth per layer) and
+            # at random init a 512-atom kNN-32 stack diverges from epoch 0
+            # (measured: instant NaN at 512, 5x init-loss at 128). Gating
+            # it to zero makes the untrained net exactly the no-flag net;
+            # the gate and the first-layer column train jointly.
+            gate = self.param(
+                "radius_feature_gate", nn.initializers.zeros, (1,)
+            ).astype(pos_t.dtype)
+            feats.append(jnp.log1p(r) * m3 * gate)
         feats.append(t_norm)
         h_in = jnp.concatenate(feats, axis=-1)
 

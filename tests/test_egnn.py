@@ -253,6 +253,10 @@ class TestGlobalRadiusFeature:
         pm = dense_pair_mask(mask)
         params = model.init(jax.random.key(0), species, pos, spec, exo,
                             tn, mask, pm)
+        # open the zero-init gate so the radius feature actually flows
+        # (equivariance must hold with it ACTIVE, not just at init)
+        params = jax.tree_util.tree_map(lambda a: a, params)
+        params["params"]["radius_feature_gate"] = jnp.asarray([1.0])
         ex1, eh1 = model.apply(params, species, pos, spec, exo, tn, mask,
                                pm)
         # rotation + translation: the radius feature is CoM-relative and
