@@ -48,6 +48,12 @@ class Config:
     noise_schedule: str = "predefined"  # "predefined" | "learned"
     noise_precision: float = 1e-5
     noise_schedule_power: float = 2.0
+    gamma_init: str = "reference"
+    # learned-schedule gamma init: "reference" = the VDM default (-5, 10)
+    # endpoints (ref SNR.py:36-37); "polynomial" = pre-fit the gamma net
+    # to this config's polynomial schedule in alpha^2 space before
+    # training — measurably better final quality (0.861/0.928 vs
+    # 0.829/0.900 rdf_cos, docs/quality/learned_origin_test.json).
     # VDM boundary terms for the learned schedule (train/trainer.py): the
     # plain eps-MSE never samples the endpoints, so nothing stops gamma_0
     # from settling at a sigma(0) ~ 0.1 noise floor that the t=0 sampling

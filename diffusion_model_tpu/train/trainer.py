@@ -146,7 +146,16 @@ class Trainer:
             )
         }
         if self.gamma is not None:
-            params["gamma"] = self.gamma.init(k2, jnp.zeros((1, 1)))
+            if self.cfg.gamma_init == "polynomial":
+                from diffusion_model_tpu.nn.gamma import (
+                    fit_gamma_to_schedule,
+                )
+
+                params["gamma"], _ = fit_gamma_to_schedule(
+                    self.gamma, predefined_schedule(self.cfg).alphas, k2
+                )
+            else:
+                params["gamma"] = self.gamma.init(k2, jnp.zeros((1, 1)))
         opt_state = self.optimizer.init(params)
         return TrainState(params=params, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32))

@@ -44,50 +44,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 
-def fit_gamma_to_polynomial(trainer, cfg, steps: int = 4000,
+def fit_gamma_to_polynomial(trainer, cfg, steps: int = 6000,
                             lr: float = 1e-2):
-    """Regress the GammaNetwork onto the polynomial schedule's gamma(t).
-
-    Target: gamma(t) = log(sigma_t^2 / alpha_t^2) of the predefined
-    schedule on the T+1 grid (log1p form — see diffusion/sampler.snr_grid
-    for the f32 saturation trap). Returns (gamma_params, fit_rmse).
-    """
+    """Alpha^2-space pre-fit of the gamma net to the polynomial schedule
+    (the shipped implementation lives in nn/gamma.fit_gamma_to_schedule,
+    exposed as cfg.gamma_init="polynomial"; this wrapper keeps the
+    experiment script's original interface)."""
     from diffusion_model_tpu.diffusion.process import predefined_schedule
+    from diffusion_model_tpu.nn.gamma import fit_gamma_to_schedule
 
-    alphas = predefined_schedule(cfg).alphas.astype(jnp.float32)
-    a2_target = alphas**2
-    t_grid = jnp.linspace(0.0, 1.0, cfg.num_diffusion_timestep + 1)[:, None]
-
-    # Fit in ALPHA^2 space, not gamma space: training consumes
-    # alpha = sqrt(sigmoid(-gamma)), so gamma's log tails (|gamma| > ~7)
-    # saturate to alpha ~ 0/1 and a gamma-space MSE wastes the fit budget
-    # on schedule regions the diffusion process cannot distinguish.
-    # "Initialised at the polynomial schedule" = same alpha curve.
-    params = trainer.gamma.init(jax.random.key(0), jnp.zeros((1, 1)))
-    opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
-    opt_state = opt.init(params)
-
-    @jax.jit
-    def step(params, opt_state):
-        def total(p):
-            gamma = trainer.gamma.apply(p, t_grid)[:, 0]
-            a2 = jax.nn.sigmoid(-gamma)
-            err = a2 - a2_target
-            # L2 + L4: the quartic term concentrates the fit budget on the
-            # largest deviations (the steep deep-noise tail near t=1 that
-            # a plain MSE under-weights)
-            loss = jnp.mean(err**2) + 50.0 * jnp.mean(err**4)
-            return loss, jnp.max(jnp.abs(err))
-
-        (_, mx), grads = jax.value_and_grad(total, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, mx
-
-    for _ in range(steps):
-        params, opt_state, max_err = step(params, opt_state)
+    params, max_err = fit_gamma_to_schedule(
+        trainer.gamma, predefined_schedule(cfg).alphas, jax.random.key(0),
+        steps=steps, lr=lr,
+    )
     return params, float(max_err)
 
 

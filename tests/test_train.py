@@ -246,3 +246,30 @@ class TestEarlyStopping:
         assert not es2.validate(0.6)
         assert not es2.validate(0.7)
         assert es2.validate(0.8)
+
+
+class TestGammaInitPolynomial:
+    def test_init_tracks_polynomial_schedule_and_trains(self):
+        """cfg.gamma_init='polynomial': the learned schedule starts at the
+        best in-family approximation of the polynomial schedule (alpha^2-
+        space pre-fit, nn/gamma.fit_gamma_to_schedule) instead of the VDM
+        default endpoints — measured better final quality
+        (docs/quality/learned_origin_test.json)."""
+        cfg = tiny_cfg(noise_schedule="learned", gamma_init="polynomial",
+                       num_diffusion_timestep=50, noise_precision=0.05)
+        trainer = Trainer(cfg)
+        batches = make_batches(cfg, num=2)
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        sched = trainer.schedule_for(state.params)
+        target = predefined_schedule(cfg)
+        dev = np.max(np.abs(np.asarray(sched.alphas)
+                            - np.asarray(target.alphas)))
+        assert dev < 0.12, dev  # in-family tail limit is ~0.09-0.1
+        # interior must be tight (the representable region)
+        mid = slice(5, 40)
+        dev_mid = np.max(np.abs(np.asarray(sched.alphas)[mid]
+                                - np.asarray(target.alphas)[mid]))
+        assert dev_mid < 0.06, dev_mid  # toy T=50 schedule fits a bit looser
+        state, m = trainer.train_step(state, jax.random.key(1),
+                                      batches[0])
+        assert np.isfinite(float(m["loss"]))
