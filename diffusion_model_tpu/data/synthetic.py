@@ -194,3 +194,116 @@ def amorphous_cell(seed: int, num_atoms: int, density_si_ratio: float = 1 / 3,
         "cn": 4,
         "id": f"amorphous_{seed}",
     }
+
+
+def amorphous_network_cell(seed: int, num_atoms: int,
+                           spectrum_size: int = 200,
+                           bond_length: float = 1.61,
+                           si_o_si_deg: float = 147.0,
+                           jitter: float = 0.12) -> dict:
+    """A continuous-random-network SiO2 cluster with real chemical order.
+
+    ``amorphous_cell`` is a hard-sphere packing — adequate for throughput
+    benchmarks but with no Si-O bonds, no coordination shells and no
+    mid-range order, so its exO-RDF aggregate is dominated by envelope
+    sample noise (disjoint ground-truth sets of 8 cells agree only to
+    ~0.76 cosine at 512 atoms — measured round 3). This generator builds
+    the quasi-amorphous network model instead: a beta-cristobalite Si
+    sublattice (diamond lattice, the standard crystalline reference for
+    silica glass) with every bridging O displaced off the Si-Si axis to
+    the target Si-O-Si angle at the target bond length, Gaussian
+    positional disorder, a random global rotation, and a ball of the
+    ``num_atoms`` sites nearest a randomly chosen exO. The result has
+    silica's number density (0.066 atoms/A^3 falls out of the geometry),
+    CN(Si)=4 / CN(O)=2 short-range order and genuine mid-range peaks —
+    i.e. the structure the reference's amorphous pipeline actually
+    studies (ref generate_amorphous.py:25-147, evaluate_Si-O-Si.py).
+
+    Dataset schema matches make_dataset.py:110-142 like the other
+    generators; the exO spectrum encodes CN=2 and the exO's actual
+    Si-O-Si angle so conditioning stays informative.
+    """
+    rng = np.random.default_rng(seed)
+    theta = np.radians(si_o_si_deg)
+    # Geometry: Si-Si nn distance and diamond lattice constant follow
+    # from the bond length and bridge angle.
+    d_sisi = 2.0 * bond_length * np.sin(theta / 2.0)
+    a = 4.0 * d_sisi / np.sqrt(3.0)
+    delta = bond_length * np.cos(theta / 2.0)  # O off-axis displacement
+
+    # Ball radius for num_atoms at the implied density (24 atoms/cell).
+    density = 24.0 / a**3
+    radius = (num_atoms / density * 3.0 / (4.0 * np.pi)) ** (1.0 / 3.0)
+    ncell = int(np.ceil((radius + a) / a))
+
+    # Diamond Si sublattice.
+    fcc = np.array([[0, 0, 0], [0, .5, .5], [.5, 0, .5], [.5, .5, 0]])
+    basis = np.concatenate([fcc, fcc + 0.25])
+    cells = np.arange(-ncell, ncell + 1)
+    grid = np.stack(np.meshgrid(cells, cells, cells,
+                                indexing="ij"), -1).reshape(-1, 3)
+    si = ((grid[:, None, :] + basis[None, :, :]).reshape(-1, 3) * a
+          ).astype(np.float64)
+    si = si[np.linalg.norm(si, axis=-1) < radius + a]
+
+    # Unique bonded Si pairs (nearest neighbours at d_sisi).
+    from scipy.spatial import cKDTree
+    tree = cKDTree(si)
+    pairs = tree.query_pairs(d_sisi * 1.05, output_type="ndarray")
+
+    # Bridging O: midpoint + perpendicular offset with random azimuth.
+    mid = 0.5 * (si[pairs[:, 0]] + si[pairs[:, 1]])
+    axis = si[pairs[:, 1]] - si[pairs[:, 0]]
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    rand = rng.normal(size=axis.shape)
+    perp = rand - np.sum(rand * axis, axis=-1, keepdims=True) * axis
+    perp /= np.linalg.norm(perp, axis=-1, keepdims=True)
+    ox = mid + delta * perp
+
+    pos = np.concatenate([si, ox])
+    is_o = np.zeros(len(pos), bool)
+    is_o[len(si):] = True
+    pos = pos + rng.normal(0.0, jitter, pos.shape)
+
+    # Random global rotation (QR sign-fixed).
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q *= np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    pos = pos @ q.T
+
+    # exO: the O site nearest the cluster centre; carve the ball there.
+    o_idx = np.nonzero(is_o)[0]
+    exo_site = o_idx[np.argmin(np.linalg.norm(pos[o_idx], axis=-1))]
+    pos = pos - pos[exo_site]
+    order = np.argsort(np.linalg.norm(pos, axis=-1), kind="stable")
+    keep = order[:num_atoms]  # keep[0] == exo_site (distance 0)
+    pos_k = pos[keep].astype(np.float32)
+    is_o_k = is_o[keep]
+
+    species = np.zeros((num_atoms, 2), np.float32)
+    species[is_o_k] = [1.0, 0.0]
+    species[~is_o_k] = [0.0, 1.0]
+
+    # exO's actual Si-O-Si angle (pre-carve neighbours survive: they are
+    # at bond_length, well inside the ball).
+    si_k = pos_k[~is_o_k]
+    d_ex = np.linalg.norm(si_k, axis=-1)
+    nb = si_k[np.argsort(d_ex)[:2]]
+    cosang = np.dot(nb[0], nb[1]) / (
+        np.linalg.norm(nb[0]) * np.linalg.norm(nb[1]))
+    angle = float(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
+
+    spectrum = np.zeros((num_atoms, spectrum_size), np.float32)
+    spectrum[0] = synthetic_spectrum(2, rng, spectrum_size,
+                                     mean_angle_deg=angle)
+    exo_col = np.zeros((num_atoms, 1), np.float32)
+    exo_col[0, 0] = 1.0
+    return {
+        "pos": pos_k,
+        "species": species,
+        "spectrum": spectrum,
+        "exo": exo_col,
+        "cn": 2,
+        "id": f"network_{seed}",
+    }

@@ -29,6 +29,16 @@ from diffusion_model_tpu.evals.template import (
     local_descriptor,
     template_match,
 )
+from diffusion_model_tpu.evals.amorphous import (
+    aggregate_exo_rdf,
+    bond_angle_samples,
+    coordination_stats,
+    envelope_matched_cloud,
+    exo_rdf_resampling_ceiling,
+    pair_distances,
+    radial_envelope,
+    structure_panel,
+)
 
 __all__ = [
     "evaluate_rdf_lists",
@@ -54,4 +64,12 @@ __all__ = [
     "template_match",
     "spectrum_nn_predict",
     "nn_ceiling_r2",
+    "aggregate_exo_rdf",
+    "bond_angle_samples",
+    "coordination_stats",
+    "envelope_matched_cloud",
+    "exo_rdf_resampling_ceiling",
+    "pair_distances",
+    "radial_envelope",
+    "structure_panel",
 ]

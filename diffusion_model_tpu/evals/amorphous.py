@@ -1,0 +1,265 @@
+"""Structural quality panel for amorphous-cell generation.
+
+The reference's only amorphous metric is the exO-centred RDF cosine
+(ref evaluate_RDF.py:48-83) plus an O-density scatter
+(ref generate_amorphous.py:109-144). At large cells (512+ atoms) that
+single-site RDF aggregate becomes sample-noise limited: two DISJOINT sets
+of 8 ground-truth 512-atom cells score only ~0.76 cosine against each
+other (measured round 3 — the spectrum conditions just the exO's local
+shell, so a perfect distribution-matching generator cannot beat
+independent ground-truth resampling). Scores must therefore be read
+against a measured ceiling, exactly like the 1-NN information ceiling
+used for the conditional-extraction metrics (evals/baseline.py).
+
+This module adds
+
+  * ``exo_rdf_resampling_ceiling`` — the ground-truth-vs-ground-truth
+    aggregate-RDF cosine for a given cell generator and evaluation
+    protocol (mean +/- sd over disjoint pair splits), and
+  * ``structure_panel`` — physically meaningful distribution-level
+    metrics that do not collapse into single-site sample noise:
+    all-pairs distance Wasserstein-1, coordination-number statistics,
+    bond-angle (O-Si-O at Si, Si-O-Si at O) Wasserstein-1, radial
+    envelope percentiles and the global scale ratio, plus the
+    structureless envelope-matched-cloud floor for the exO-RDF cosine
+    so every aggregate score is bracketed by [floor, ceiling].
+
+All inputs are the padded ``[G, N, 3]`` / ``[G, N, 2]`` / ``[G, N]``
+stacks the samplers emit; everything here is host-side evaluation code
+(numpy, like evals/density.py) — per-call cost is O(G * N^2) on a few
+dozen structures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import wasserstein_distance
+
+from diffusion_model_tpu.evals.rdf import rdf_metrics
+from diffusion_model_tpu.ops.rdf import rdf_from_exo
+
+
+# ---------------------------------------------------------------------------
+# Geometry primitives
+# ---------------------------------------------------------------------------
+
+def pair_distances(pos: np.ndarray, mask: np.ndarray,
+                   r_max: float | None = None) -> np.ndarray:
+    """All unique pair distances of one structure's real atoms."""
+    n = int(np.asarray(mask).sum())
+    p = np.asarray(pos)[:n]
+    d = np.linalg.norm(p[:, None] - p[None], axis=-1)
+    d = d[np.triu_indices(n, 1)]
+    if r_max is not None:
+        d = d[d <= r_max]
+    return d
+
+
+def _bond_lists(pos: np.ndarray, species: np.ndarray, mask: np.ndarray,
+                cutoff: float):
+    """Per-structure Si-O adjacency under a distance cutoff.
+
+    Returns (is_o[n], neighbor index lists) where neighbors are
+    hetero-species bonds only (Si-O), the bond definition the reference
+    uses for its <2 A shell logic (ref make_dataset.py:100-107,
+    evaluate_Si-O-Si.py:23-41).
+    """
+    n = int(np.asarray(mask).sum())
+    p = np.asarray(pos)[:n]
+    is_o = np.asarray(species)[:n, 0] > 0.5
+    d = np.linalg.norm(p[:, None] - p[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    hetero = is_o[:, None] != is_o[None, :]
+    bonded = (d < cutoff) & hetero
+    return is_o, [np.nonzero(bonded[i])[0] for i in range(n)]
+
+
+def coordination_stats(pos: np.ndarray, species: np.ndarray,
+                       mask: np.ndarray, cutoff: float = 2.0) -> dict:
+    """Mean hetero-coordination number per species (Si->O and O->Si)."""
+    is_o, nbrs = _bond_lists(pos, species, mask, cutoff)
+    cn = np.array([len(x) for x in nbrs], np.float64)
+    return {
+        "cn_si_mean": float(cn[~is_o].mean()) if (~is_o).any() else 0.0,
+        "cn_o_mean": float(cn[is_o].mean()) if is_o.any() else 0.0,
+    }
+
+
+def bond_angle_samples(pos: np.ndarray, species: np.ndarray,
+                       mask: np.ndarray, cutoff: float = 2.0):
+    """O-Si-O angles (vertex Si) and Si-O-Si angles (vertex O), degrees."""
+    n = int(np.asarray(mask).sum())
+    p = np.asarray(pos)[:n]
+    is_o, nbrs = _bond_lists(pos, species, mask, cutoff)
+    osio, siosi = [], []
+    for i in range(n):
+        nb = nbrs[i]
+        if len(nb) < 2:
+            continue
+        sink = osio if not is_o[i] else siosi
+        for a in range(len(nb)):
+            for b in range(a + 1, len(nb)):
+                u = p[nb[a]] - p[i]
+                v = p[nb[b]] - p[i]
+                c = np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+                sink.append(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+    return np.asarray(osio, np.float64), np.asarray(siosi, np.float64)
+
+
+def radial_envelope(pos: np.ndarray, mask: np.ndarray,
+                    percentiles=(25, 50, 75, 95)) -> dict:
+    """Percentiles of |x - CoM| pooled over a structure stack."""
+    rows = []
+    for p_, m_ in zip(np.asarray(pos), np.asarray(mask)):
+        n = int(m_.sum())
+        p = p_[:n]
+        rows.append(np.linalg.norm(p - p.mean(0), axis=-1))
+    r = np.concatenate(rows)
+    return {f"p{q}": round(float(np.percentile(r, q)), 3)
+            for q in percentiles}
+
+
+def envelope_matched_cloud(pos: np.ndarray, mask: np.ndarray,
+                           rng: np.random.Generator) -> np.ndarray:
+    """Structureless control: same per-atom radii from CoM, random
+    directions. Scores the 'right envelope, zero order' floor."""
+    out = np.array(pos, np.float32, copy=True)
+    for g, (p_, m_) in enumerate(zip(np.asarray(pos), np.asarray(mask))):
+        n = int(m_.sum())
+        p = p_[:n]
+        c = p.mean(0)
+        r = np.linalg.norm(p - c, axis=-1)
+        d = rng.normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        out[g, :n] = c + d * r[:, None]
+    return out
+
+
+def aggregate_exo_rdf(pos: np.ndarray, mask: np.ndarray,
+                      sigma: float = 5.0, r_max: float = 5.0,
+                      dr: float = 0.01) -> np.ndarray:
+    """Mean exO-RDF over a structure stack (the reference aggregate)."""
+    return np.mean(
+        [np.asarray(rdf_from_exo(p_, m_, sigma=sigma, r_max=r_max, dr=dr))
+         for p_, m_ in zip(np.asarray(pos), np.asarray(mask))], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# The panel
+# ---------------------------------------------------------------------------
+
+def structure_panel(original_pos, original_species, generated_pos,
+                    generated_species, mask, cutoff: float = 2.0,
+                    r_max_pairs: float = 6.0, seed: int = 0) -> dict:
+    """Distribution-level structural comparison of two structure stacks.
+
+    Every entry compares generated against original over the SAME mask
+    stack (the samplers keep the condition's mask). Returns a flat dict
+    of rounded floats, ready for a JSON summary.
+    """
+    rng = np.random.default_rng(seed)
+    o_pos = np.asarray(original_pos)
+    g_pos = np.asarray(generated_pos)
+    m = np.asarray(mask)
+
+    panel: dict = {}
+
+    # Reference aggregate exO-RDF cosine, bracketed by its structureless
+    # floor (envelope-matched cloud vs original).
+    rdf_o = aggregate_exo_rdf(o_pos, m)
+    rdf_g = aggregate_exo_rdf(g_pos, m)
+    panel["aggregate_rdf_cos"] = round(
+        float(rdf_metrics(rdf_o, rdf_g)["cos"]), 4)
+    cloud = envelope_matched_cloud(o_pos, m, rng)
+    panel["aggregate_rdf_cos_structureless_floor"] = round(
+        float(rdf_metrics(rdf_o, aggregate_exo_rdf(cloud, m))["cos"]), 4)
+
+    # All-pairs distance distribution W1 (A). Scale- and order-sensitive,
+    # monotone in corruption; pooled over the stack.
+    d_o = np.concatenate([pair_distances(p_, m_, r_max_pairs)
+                          for p_, m_ in zip(o_pos, m)])
+    d_g = np.concatenate([pair_distances(p_, m_, r_max_pairs)
+                          for p_, m_ in zip(g_pos, m)])
+    panel["pair_dist_w1"] = round(
+        float(wasserstein_distance(d_o, d_g)), 4)
+
+    # Coordination numbers (hetero bonds < cutoff).
+    cn_o = [coordination_stats(p_, s_, m_, cutoff)
+            for p_, s_, m_ in zip(o_pos, np.asarray(original_species), m)]
+    cn_g = [coordination_stats(p_, s_, m_, cutoff)
+            for p_, s_, m_ in zip(g_pos, np.asarray(generated_species), m)]
+    for k in ("cn_si_mean", "cn_o_mean"):
+        panel[f"{k}_original"] = round(
+            float(np.mean([c[k] for c in cn_o])), 3)
+        panel[f"{k}_generated"] = round(
+            float(np.mean([c[k] for c in cn_g])), 3)
+
+    # Bond-angle distributions.
+    ang_o = [bond_angle_samples(p_, s_, m_, cutoff)
+             for p_, s_, m_ in zip(o_pos, np.asarray(original_species), m)]
+    ang_g = [bond_angle_samples(p_, s_, m_, cutoff)
+             for p_, s_, m_ in zip(g_pos, np.asarray(generated_species), m)]
+    for idx, name in ((0, "osio"), (1, "siosi")):
+        a_o = np.concatenate([a[idx] for a in ang_o]) if ang_o else np.array([])
+        a_g = np.concatenate([a[idx] for a in ang_g]) if ang_g else np.array([])
+        if len(a_o) and len(a_g):
+            panel[f"angle_{name}_w1_deg"] = round(
+                float(wasserstein_distance(a_o, a_g)), 2)
+            panel[f"angle_{name}_mean_original"] = round(float(a_o.mean()), 1)
+            panel[f"angle_{name}_mean_generated"] = round(float(a_g.mean()), 1)
+
+    # Radial envelope + global scale.
+    env_o = radial_envelope(o_pos, m)
+    env_g = radial_envelope(g_pos, m)
+    panel["radius_profile_original"] = env_o
+    panel["radius_profile_generated"] = env_g
+    panel["envelope_scale_ratio_p50"] = round(
+        env_g["p50"] / max(env_o["p50"], 1e-9), 4)
+    panel["envelope_scale_ratio_p95"] = round(
+        env_g["p95"] / max(env_o["p95"], 1e-9), 4)
+    return panel
+
+
+# ---------------------------------------------------------------------------
+# The protocol ceiling
+# ---------------------------------------------------------------------------
+
+def exo_rdf_resampling_ceiling(cell_fn, num_cells: int, pairs: int = 4,
+                               seed: int = 0, sigma: float = 5.0,
+                               r_max: float = 5.0, dr: float = 0.01) -> dict:
+    """Ground-truth-vs-ground-truth ceiling of the aggregate exO-RDF cosine.
+
+    ``cell_fn(seed) -> dict`` draws one ground-truth cell (e.g. a
+    ``data.synthetic`` generator with ``num_atoms`` bound). For each of
+    ``pairs`` disjoint seed blocks, two independent ``num_cells``-sized
+    sets are aggregated and scored against each other — the expected
+    score of a PERFECT generator that matches the data distribution but
+    (like the model, whose spectrum conditions only the exO shell)
+    cannot reproduce the specific far-field of each evaluation cell.
+
+    Returns mean/sd/min over the pair splits. Compare a model's
+    aggregate_rdf_cos against ``mean`` — not against 1.0.
+    """
+    scores = []
+    for p in range(pairs):
+        base = seed + 2 * p * num_cells + 100_000 * (p + 1)
+        def agg(block):
+            pos, msk = [], []
+            for i in range(num_cells):
+                c = cell_fn(block + i)
+                pos.append(np.asarray(c["pos"]))
+                msk.append(np.ones(len(c["pos"]), np.float32))
+            return np.mean(
+                [np.asarray(rdf_from_exo(p_, m_, sigma=sigma, r_max=r_max,
+                                         dr=dr))
+                 for p_, m_ in zip(pos, msk)], axis=0)
+        a = agg(base)
+        b = agg(base + num_cells)
+        scores.append(float(rdf_metrics(a, b)["cos"]))
+    return {
+        "mean": round(float(np.mean(scores)), 4),
+        "sd": round(float(np.std(scores)), 4),
+        "min": round(float(np.min(scores)), 4),
+        "pairs": pairs,
+        "num_cells": num_cells,
+    }

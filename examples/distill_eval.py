@@ -29,6 +29,8 @@ import numpy as np
 
 
 def main():
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # make JAX_PLATFORMS=cpu work under the sandbox sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run_dir", type=str, required=True)
     p.add_argument("--out_dir", type=str, default="runs/distill_eval")

@@ -35,6 +35,8 @@ def nn_distances(pos, mask):
 
 
 def main():
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # make JAX_PLATFORMS=cpu work under the sandbox sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run_dir", type=str, default="runs/size_gen_512k32")
     p.add_argument("--size", type=int, default=512)
@@ -43,14 +45,23 @@ def main():
                    help="conditions per jitted sampling call")
     p.add_argument("--sample_steps", type=int, default=250)
     p.add_argument("--sample_grid", type=str, default="uniform")
+    p.add_argument("--generator", type=str, default="packing",
+                   choices=("packing", "network"))
     p.add_argument("--out", type=str, default="")
     args = p.parse_args()
 
     from diffusion_model_tpu import api
     from diffusion_model_tpu.config import from_dict
     from diffusion_model_tpu.data.batch import collate
-    from diffusion_model_tpu.data.synthetic import amorphous_cell
+    from diffusion_model_tpu.data.synthetic import (
+        amorphous_cell,
+        amorphous_network_cell,
+    )
     from diffusion_model_tpu.evals import rdf_metrics
+    from diffusion_model_tpu.evals.amorphous import (
+        exo_rdf_resampling_ceiling,
+        structure_panel,
+    )
     from diffusion_model_tpu.evals.density import o_density
     from diffusion_model_tpu.ops.rdf import rdf_from_exo
 
@@ -73,9 +84,16 @@ def main():
         sample_steps=args.sample_steps,
         sample_grid=args.sample_grid,
     )
+    def make_cell(seed, num_atoms):
+        if args.generator == "network":
+            return amorphous_network_cell(
+                seed=seed, num_atoms=num_atoms,
+                spectrum_size=cfg.spectrum_size)
+        return amorphous_cell(seed=seed, num_atoms=num_atoms,
+                              spectrum_size=cfg.spectrum_size)
+
     cells = [
-        amorphous_cell(seed=10_000 + args.size + i, num_atoms=args.size,
-                       spectrum_size=cfg.spectrum_size)
+        make_cell(10_000 + args.size + i, args.size)
         for i in range(args.gen_cells)
     ]
     t0 = time.time()
@@ -127,6 +145,12 @@ def main():
 
         row["radius_profile_generated"] = radial_profile(gp, m)
         row["radius_profile_original"] = radial_profile(op, m)
+        row["panel"] = structure_panel(
+            op, res["original_species"][keep], gp,
+            res["generated_species"][keep], m)
+        row["rdf_ceiling"] = exo_rdf_resampling_ceiling(
+            lambda s: make_cell(s, args.size), num_cells=len(keep),
+            pairs=3)
 
     out = {"config": f"{os.path.basename(args.run_dir)}_eval_n{args.size}",
            "result": row}

@@ -74,6 +74,8 @@ def alpha_curve(trainer, params, n: int = 101):
 
 
 def main():
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # make JAX_PLATFORMS=cpu work under the sandbox sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out_dir", type=str, default="runs/learned_origin")
     p.add_argument("--num", type=int, default=256)

@@ -32,6 +32,8 @@ def nn_distances(pos, mask):
 
 
 def main():
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # make JAX_PLATFORMS=cpu work under the sandbox sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out_dir", type=str, default="runs/size_gen")
     p.add_argument("--epochs", type=int, default=800)
@@ -56,6 +58,13 @@ def main():
                    help="append the |x - CoM| global-envelope feature "
                         "(config.global_radius_feature) — the mid-range-"
                         "order fix for kNN topologies")
+    p.add_argument("--generator", type=str, default="packing",
+                   choices=("packing", "network"),
+                   help="'packing' = hard-sphere amorphous_cell (no "
+                        "chemical order, exO-RDF ceiling ~0.76 at 8x512 "
+                        "cells); 'network' = amorphous_network_cell CRN "
+                        "silica (real Si-O bonds/angles, ceiling ~0.92+; "
+                        "see docs/quality/rdf_resampling_ceilings.json)")
     args = p.parse_args()
     # queued-run escape hatch: a pre-launched chained job can have its
     # epoch budget trimmed without editing its frozen command line
@@ -68,11 +77,26 @@ def main():
 
     from diffusion_model_tpu import api
     from diffusion_model_tpu.config import Config
-    from diffusion_model_tpu.data.synthetic import amorphous_cell
+    from diffusion_model_tpu.data.synthetic import (
+        amorphous_cell,
+        amorphous_network_cell,
+    )
     from diffusion_model_tpu.evals import rdf_metrics
+    from diffusion_model_tpu.evals.amorphous import (
+        exo_rdf_resampling_ceiling,
+        structure_panel,
+    )
     from diffusion_model_tpu.evals.density import o_density
     from diffusion_model_tpu.ops.rdf import rdf_from_exo
     from diffusion_model_tpu.utils.logging import RunLogger
+
+    def make_cell(seed, num_atoms):
+        if args.generator == "network":
+            return amorphous_network_cell(
+                seed=seed, num_atoms=num_atoms,
+                spectrum_size=cfg.spectrum_size)
+        return amorphous_cell(seed=seed, num_atoms=num_atoms,
+                              spectrum_size=cfg.spectrum_size)
 
     cfg = Config(
         n_max=args.train_max, neighbor_k=args.neighbor_k,
@@ -86,10 +110,9 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(cfg.seed)
     train_graphs = [
-        amorphous_cell(
-            seed=int(s),
-            num_atoms=int(rng.integers(args.train_min, args.train_max + 1)),
-            spectrum_size=cfg.spectrum_size)
+        make_cell(
+            int(s),
+            int(rng.integers(args.train_min, args.train_max + 1)))
         for s in rng.integers(0, 2**31, args.train_cells)
     ]
     logger = RunLogger(args.out_dir, cfg)
@@ -102,8 +125,7 @@ def main():
     for size in [int(s) for s in args.sizes.split(",")]:
         cfg_s = cfg.replace(n_max=size, sample_steps=args.sample_steps)
         cells = [
-            amorphous_cell(seed=10_000 + size + i, num_atoms=size,
-                           spectrum_size=cfg.spectrum_size)
+            make_cell(10_000 + size + i, size)
             for i in range(args.gen_cells)
         ]
         t0 = time.time()
@@ -135,11 +157,31 @@ def main():
             dens_o = o_density(res["original_species"][keep], m)
             row["o_density_mae"] = round(
                 float(np.mean(np.abs(dens_o - dens_g))), 4)
+            # full structural panel (all-pairs W1, CN, angles, envelope)
+            row["panel"] = structure_panel(
+                op, res["original_species"][keep], gp,
+                res["generated_species"][keep], m)
+            # ground-truth resampling ceiling of the aggregate-RDF metric
+            # at THIS protocol size — compare aggregate_rdf_cos to this,
+            # not to 1.0 (single-site RDF aggregates are sample-noise
+            # limited; docs/quality/rdf_resampling_ceilings.json)
+            row["rdf_ceiling"] = exo_rdf_resampling_ceiling(
+                lambda s: make_cell(s, size), num_cells=len(keep),
+                pairs=3)
+            np.savez_compressed(
+                os.path.join(args.out_dir, f"positions_n{size}.npz"),
+                generated_pos=res["generated_pos"],
+                original_pos=res["original_pos"],
+                generated_species=res["generated_species"],
+                original_species=res["original_species"],
+                mask=res["mask"], accepted=res["accepted"])
         results[f"n{size}"] = row
         print(f"size {size}: {row}", flush=True)
 
     out = {"config": f"size_gen_knn{args.neighbor_k}_train"
-                     f"{args.train_min}-{args.train_max}_{args.epochs}ep",
+                     f"{args.train_min}-{args.train_max}_{args.epochs}ep"
+                     f"_{args.generator}"
+                     + ("_gr" if args.global_radius else ""),
            "sizes": results}
     with open(os.path.join(args.out_dir, "size_gen_summary.json"),
               "w") as f:
