@@ -140,6 +140,14 @@ class Config:
     # zero-init the final coordinate-MLP layer so the untrained net is the
     # identity on positions (standard diffusion practice; the reference
     # instead survives early-training NaNs via its runtime retry loop).
+    h_init_scale: float = 1.0
+    # variance multiplier for the EGCL node-MLP output kernel at init
+    # (nn/egnn.py EGCL.h_init_scale). The reference's non-residual h
+    # update makes untrained feature magnitude grow ~0.2*K per layer (K =
+    # neighbours), which at 512-atom kNN-32 produces repeated first-step
+    # NaN epochs. ~1/K^2 (e.g. 1e-3 at K=32) holds the init-time scale
+    # flat; 1.0 is the reference-equivalent lecun init. Trained model
+    # family is unchanged — this only moves the starting point.
     global_radius_feature: bool = False
     # append log1p(|x - CoM|) to every node's input features (an E(3)-
     # invariant global-envelope signal). With kNN edges a node's receptive

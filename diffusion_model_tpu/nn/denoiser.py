@@ -101,6 +101,7 @@ class DiffusionDenoiser(nn.Module):
             compat_scalar_norm=cfg.compat_scalar_norm,
             compute_dtype=dt,
             zero_init_x=cfg.zero_init_x,
+            h_init_scale=cfg.h_init_scale,
             name="egnn",
         )(h_in, pos_t, edges)
 

@@ -126,6 +126,19 @@ class EGCL(nn.Module):
     compat_scalar_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     zero_init_x: bool = True
+    h_init_scale: float = 1.0
+    # ``h_init_scale`` damps the variance of the node-MLP output kernel
+    # (``mlp_h_dense1``) at initialisation. The reference h update is
+    # non-residual (``updated_h = mlp_h([h | sum_j m_ij])``, ref
+    # EquivariantGraphNeuralNetwork.py:68-69) and the attention-gated SiLU
+    # messages are non-negative-biased, so the masked sum over K neighbours
+    # adds coherently: at random init ``|h|`` grows ~0.2*K per layer
+    # (1e6+ after 5 layers at K=192 dense; repeated first-step NaN at
+    # 512-atom kNN-32). Setting the variance multiplier to ~1/K^2 holds
+    # the init-time feature scale flat across layers. 1.0 reproduces the
+    # default ``lecun_normal`` draw bit-for-bit (same distribution, same
+    # key path) and the trained model family is unchanged either way —
+    # this moves only the starting point.
     # ``zero_init_x`` zero-initialises the final coordinate-MLP layer so an
     # untrained network is the identity on positions. The reference instead
     # relies on a runtime NaN-retry loop to survive early-training reverse
@@ -163,7 +176,11 @@ class EGCL(nn.Module):
         x_second = nn.Dense(self.x_hidden, dtype=dt, name="mlp_x_dense1")
         x_last = _VectorHead(zero_init=self.zero_init_x, name="mlp_x_dense2")
         h_dense0 = nn.Dense(self.h_hidden, dtype=dt, name="mlp_h_dense0")
-        h_dense1 = nn.Dense(self.h_out, dtype=dt, name="mlp_h_dense1")
+        h_dense1 = nn.Dense(
+            self.h_out, dtype=dt, name="mlp_h_dense1",
+            kernel_init=nn.initializers.variance_scaling(
+                self.h_init_scale, "fan_in", "truncated_normal"),
+        )
         mods = (m_first, m_second, att, x_first, x_second, x_last,
                 h_dense0, h_dense1)
 
@@ -269,6 +286,7 @@ class EquivariantGNN(nn.Module):
     compat_scalar_norm: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     zero_init_x: bool = True
+    h_init_scale: float = 1.0
 
     @nn.compact
     def __call__(self, h, x, edges):
@@ -282,6 +300,7 @@ class EquivariantGNN(nn.Module):
                 compat_scalar_norm=self.compat_scalar_norm,
                 compute_dtype=self.compute_dtype,
                 zero_init_x=self.zero_init_x,
+                h_init_scale=self.h_init_scale,
                 name=f"egcl_{l}",
             )(h, x, edges)
         return h, x

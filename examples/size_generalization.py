@@ -58,6 +58,10 @@ def main():
                    help="append the |x - CoM| global-envelope feature "
                         "(config.global_radius_feature) — the mid-range-"
                         "order fix for kNN topologies")
+    p.add_argument("--h_init_scale", type=float, default=1.0,
+                   help="variance multiplier for the EGCL node-MLP output "
+                        "init (config.h_init_scale); ~1/K^2 tames the "
+                        "non-residual h-update blowup at large cells")
     p.add_argument("--generator", type=str, default="packing",
                    choices=("packing", "network"),
                    help="'packing' = hard-sphere amorphous_cell (no "
@@ -105,6 +109,7 @@ def main():
         lr=2e-4, optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
         gen_num_per_spectrum=2,
         global_radius_feature=args.global_radius,
+        h_init_scale=args.h_init_scale,
         checkpoint_every=500,  # long 512-atom runs survive interruption
     )
     print(f"devices: {jax.devices()}", flush=True)

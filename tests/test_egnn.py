@@ -319,3 +319,50 @@ class TestGlobalRadiusFeature:
                      predefined_schedule(cfg), cfg, jax.random.key(2),
                      batch)
         assert np.isfinite(np.asarray(res.pos)).all()
+
+
+class TestHInitScale:
+    """config.h_init_scale: damped node-MLP output init for large cells.
+
+    The reference h update is non-residual so untrained |h| grows ~0.2*K
+    per layer (ref EquivariantGraphNeuralNetwork.py:68-69); the damped
+    init must hold the init-time scale roughly flat while leaving the
+    parameter tree structure (and the scale=1.0 draw) unchanged.
+    """
+
+    def _forward_mag(self, rng, scale, n=96, L=5):
+        from diffusion_model_tpu.nn.egnn import EquivariantGNN
+
+        net = EquivariantGNN(L=L, m_hidden=64, m_out=64, x_hidden=64,
+                             h_hidden=64, h_out=32, h_init_scale=scale)
+        h = jnp.asarray(rng.normal(size=(1, n, 32)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, n, 3)), jnp.float32)
+        mask = jnp.ones((1, n), jnp.float32)
+        pm = dense_pair_mask(mask)
+        params = net.init(jax.random.key(7), h, x, pm)
+        h_out, _ = net.apply(params, h, x, pm)
+        return float(jnp.mean(jnp.abs(h_out))), params
+
+    def test_damped_init_tames_blowup(self, rng):
+        mag_default, p_default = self._forward_mag(rng, 1.0)
+        mag_damped, p_damped = self._forward_mag(rng, 1e-3)
+        # default non-residual stack blows up by orders of magnitude;
+        # the damped init stays within a sane range of the input scale
+        assert mag_default > 1e3
+        assert mag_damped < 50.0
+        # identical tree structure: same keys, same shapes
+        flat_d = jax.tree_util.tree_leaves_with_path(p_default)
+        flat_s = jax.tree_util.tree_leaves_with_path(p_damped)
+        assert [(k, v.shape) for k, v in flat_d] == \
+            [(k, v.shape) for k, v in flat_s]
+
+    def test_scale_one_is_lecun(self, rng):
+        # variance_scaling(1.0, fan_in, truncated_normal) IS lecun_normal:
+        # the scale=1.0 config reproduces the historical init bit-for-bit.
+        import flax.linen as nn
+
+        k = jax.random.key(3)
+        a = nn.initializers.lecun_normal()(k, (64, 32), jnp.float32)
+        b = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal")(k, (64, 32), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
