@@ -87,6 +87,33 @@ class TestGenerateAmorphousCLI:
             os.path.join(run_dir, "generated_amorphous.npz")
         )
 
+    @pytest.mark.slow
+    def test_amorphous_conditions_with_panel(self, tmp_path, micro_yaml):
+        """--amorphous N --generator network --panel: CRN conditions,
+        chunked sampling, structural panel + in-protocol RDF ceiling."""
+        import json
+
+        from diffusion_model_tpu.cli import generate_amorphous
+
+        run_dir = str(tmp_path / "run3b")
+        cli_main.main([
+            "--mode", "train_only", "--run_dir", run_dir,
+            "--config", micro_yaml, "--synthetic", "24",
+        ])
+        generate_amorphous.main([
+            "--run_dir", run_dir, "--amorphous", "3", "--num_atoms", "24",
+            "--generator", "network", "--gen_num_per_spectrum", "1",
+            "--batch_size", "2", "--panel",
+        ])
+        panel_path = os.path.join(run_dir, "amorphous_panel.json")
+        assert os.path.isfile(panel_path)
+        panel = json.load(open(panel_path))
+        assert "finite_fraction" in panel
+        if panel["accepted"]:
+            assert "rdf_ceiling" in panel
+            assert 0.0 < panel["rdf_ceiling"]["mean"] <= 1.0
+            assert "pair_dist_w1" in panel["panel"]
+
 
 class TestCNCLI:
     def test_cn_predictor_trains(self, capsys):
