@@ -34,6 +34,7 @@ from diffusion_model_tpu.evals.amorphous import (
     bond_angle_samples,
     coordination_stats,
     envelope_matched_cloud,
+    excess_rdf_cos,
     exo_rdf_resampling_ceiling,
     pair_distances,
     radial_envelope,

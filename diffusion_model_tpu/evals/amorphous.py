@@ -121,14 +121,30 @@ def radial_envelope(pos: np.ndarray, mask: np.ndarray,
 
 def envelope_matched_cloud(pos: np.ndarray, mask: np.ndarray,
                            rng: np.random.Generator) -> np.ndarray:
-    """Structureless control: same per-atom radii from CoM, random
-    directions. Scores the 'right envelope, zero order' floor."""
+    """Structureless control: radii resampled from the STACK-POOLED
+    radial distribution (smooth quantile interpolation), directions
+    uniform. Scores the 'right envelope, zero order' floor.
+
+    Radii must be RESAMPLED, not reused per atom: the exO sits at ~the
+    CoM, so a cloud that keeps each atom's exact |x - CoM| keeps each
+    exO-atom distance exactly — random directions alone are a no-op for
+    the exO-centred RDF and the 'structureless' floor silently inherits
+    the full fine structure (measured round 3: raw floor 0.9917 at 512
+    atoms, ABOVE the 0.9364 resampling ceiling). Pooled-quantile
+    resampling preserves the aggregate envelope but no per-cell order.
+    """
     out = np.array(pos, np.float32, copy=True)
-    for g, (p_, m_) in enumerate(zip(np.asarray(pos), np.asarray(mask))):
+    pos_a, mask_a = np.asarray(pos), np.asarray(mask)
+    pooled = np.sort(np.concatenate([
+        np.linalg.norm(p_[: int(m_.sum())]
+                       - p_[: int(m_.sum())].mean(0), axis=-1)
+        for p_, m_ in zip(pos_a, mask_a)
+    ]))
+    q_grid = np.linspace(0.0, 1.0, len(pooled))
+    for g, (p_, m_) in enumerate(zip(pos_a, mask_a)):
         n = int(m_.sum())
-        p = p_[:n]
-        c = p.mean(0)
-        r = np.linalg.norm(p - c, axis=-1)
+        c = p_[:n].mean(0)
+        r = np.interp(rng.uniform(size=n), q_grid, pooled)
         d = rng.normal(size=(n, 3))
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         out[g, :n] = c + d * r[:, None]
@@ -142,6 +158,42 @@ def aggregate_exo_rdf(pos: np.ndarray, mask: np.ndarray,
     return np.mean(
         [np.asarray(rdf_from_exo(p_, m_, sigma=sigma, r_max=r_max, dr=dr))
          for p_, m_ in zip(np.asarray(pos), np.asarray(mask))], axis=0)
+
+
+def _highpass(v: np.ndarray, sigma_bins: float) -> np.ndarray:
+    """Subtract a wide-Gaussian-smoothed copy: keeps structure peaks
+    (width ~0.1 A), removes the smooth envelope (scale ~2-5 A)."""
+    half = int(4 * sigma_bins)
+    k = np.exp(-0.5 * (np.arange(-half, half + 1) / sigma_bins) ** 2)
+    k /= k.sum()
+    padded = np.pad(v, half, mode="reflect")
+    return v - np.convolve(padded, k, mode="valid")
+
+
+def excess_rdf_cos(pos_a, mask_a, pos_b, mask_b, seed: int = 0,
+                   bg_sigma_angstrom: float = 0.5, sigma: float = 5.0,
+                   r_max: float = 5.0, dr: float = 0.01) -> float:
+    """Cosine of the envelope-SUBTRACTED aggregate exO-RDFs of two stacks.
+
+    For large dense cells the raw exO-RDF is dominated by the smooth
+    radial-envelope background (~r^2 growth of the shell population): an
+    envelope-matched structureless cloud scores raw cosine > 0.99 at 512
+    atoms — ABOVE the ground-truth resampling ceiling — so the raw score
+    stops discriminating order from envelope (measured round 3,
+    docs/quality/size512net_eval.json). Each aggregate is therefore
+    high-passed (minus its own ``bg_sigma_angstrom``-wide-Gaussian
+    smoothing — deterministic, unlike a Monte-Carlo cloud background)
+    before the cosine: a structureless generator scores ~0, ground truth
+    vs ground truth defines the ceiling under the same subtraction.
+    ``seed`` is accepted for API stability; the readout is deterministic.
+    """
+    del seed
+    kw = dict(sigma=sigma, r_max=r_max, dr=dr)
+    sb = bg_sigma_angstrom / dr
+    a = _highpass(aggregate_exo_rdf(pos_a, mask_a, **kw), sb)
+    b = _highpass(aggregate_exo_rdf(pos_b, mask_b, **kw), sb)
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    return float(np.dot(a, b) / max(denom, 1e-12))
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +225,15 @@ def structure_panel(original_pos, original_species, generated_pos,
     cloud = envelope_matched_cloud(o_pos, m, rng)
     panel["aggregate_rdf_cos_structureless_floor"] = round(
         float(rdf_metrics(rdf_o, aggregate_exo_rdf(cloud, m))["cos"]), 4)
+
+    # Envelope-subtracted readout: discriminative where the raw cosine
+    # saturates on the smooth background (see excess_rdf_cos). Bracket:
+    # a structureless generator scores ~0, the resampling ceiling under
+    # the same subtraction is exo_rdf_resampling_ceiling()["excess_mean"].
+    panel["excess_rdf_cos"] = round(
+        excess_rdf_cos(o_pos, m, g_pos, m, seed=seed), 4)
+    panel["excess_rdf_cos_structureless_floor"] = round(
+        excess_rdf_cos(o_pos, m, cloud, m, seed=seed + 1), 4)
 
     # All-pairs distance distribution W1 (A). Scale- and order-sensitive,
     # monotone in corruption; pooled over the stack.
@@ -237,29 +298,44 @@ def exo_rdf_resampling_ceiling(cell_fn, num_cells: int, pairs: int = 4,
     (like the model, whose spectrum conditions only the exO shell)
     cannot reproduce the specific far-field of each evaluation cell.
 
-    Returns mean/sd/min over the pair splits. Compare a model's
-    aggregate_rdf_cos against ``mean`` — not against 1.0.
+    Returns mean/sd/min over the pair splits for the raw cosine plus
+    ``excess_mean``/``excess_sd`` under the envelope-subtracted protocol
+    (see ``excess_rdf_cos``). Compare a model's aggregate_rdf_cos /
+    excess_rdf_cos against these — not against 1.0.
     """
-    scores = []
+    scores, excess_scores = [], []
     for p in range(pairs):
         base = seed + 2 * p * num_cells + 100_000 * (p + 1)
-        def agg(block):
+        def block(b0):
             pos, msk = [], []
             for i in range(num_cells):
-                c = cell_fn(block + i)
+                c = cell_fn(b0 + i)
                 pos.append(np.asarray(c["pos"]))
                 msk.append(np.ones(len(c["pos"]), np.float32))
-            return np.mean(
-                [np.asarray(rdf_from_exo(p_, m_, sigma=sigma, r_max=r_max,
-                                         dr=dr))
-                 for p_, m_ in zip(pos, msk)], axis=0)
-        a = agg(base)
-        b = agg(base + num_cells)
+            # cells may differ in atom count: pad to a common n
+            n = max(len(x) for x in pos)
+            pp = np.zeros((num_cells, n, 3), np.float32)
+            mm = np.zeros((num_cells, n), np.float32)
+            for i, (x, m_) in enumerate(zip(pos, msk)):
+                pp[i, : len(x)] = x
+                mm[i, : len(m_)] = m_
+            return pp, mm
+        pa, ma = block(base)
+        pb, mb = block(base + num_cells)
+        kw = dict(sigma=sigma, r_max=r_max, dr=dr)
+        a = np.mean([np.asarray(rdf_from_exo(p_, m_, **kw))
+                     for p_, m_ in zip(pa, ma)], axis=0)
+        b = np.mean([np.asarray(rdf_from_exo(p_, m_, **kw))
+                     for p_, m_ in zip(pb, mb)], axis=0)
         scores.append(float(rdf_metrics(a, b)["cos"]))
+        excess_scores.append(
+            excess_rdf_cos(pa, ma, pb, mb, seed=base, **kw))
     return {
         "mean": round(float(np.mean(scores)), 4),
         "sd": round(float(np.std(scores)), 4),
         "min": round(float(np.min(scores)), 4),
+        "excess_mean": round(float(np.mean(excess_scores)), 4),
+        "excess_sd": round(float(np.std(excess_scores)), 4),
         "pairs": pairs,
         "num_cells": num_cells,
     }

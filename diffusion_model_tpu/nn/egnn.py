@@ -193,9 +193,18 @@ class EGCL(nn.Module):
          h_dense0, h_dense1) = mods
         dt = self.compute_dtype
         h_c = h.astype(dt)
-        x_c = x.astype(dt)
-        d2 = pairwise_sq_dist(x_c)[..., None]            # [B,N,N,1]
+        # Geometry stays float32 regardless of compute_dtype (matching the
+        # Pallas fast path, nn/fast_apply.py:108): at large-cell scale
+        # (|x| ~ 12 A for 512-atom cells) bfloat16 coordinate rounding is
+        # ~0.05 A — the size of a Si-O bond-length error — so pair
+        # distances, norms and the coordinate update run in f32; only the
+        # MLP *feature* copy of d2 is cast down. The matmuls (where the
+        # FLOPs are) stay in compute_dtype.
+        x_f = x.astype(jnp.float32)
+        d2_f = pairwise_sq_dist(x_f)[..., None]          # [B,N,N,1] f32
+        d2 = d2_f.astype(dt)
         pm = pair_mask[..., None].astype(dt)
+        pm_f = pair_mask[..., None].astype(jnp.float32)
 
         # h-branch: edge messages, attention gate, masked sum over sources j.
         m = nn.silu(m_second(nn.silu(m_first(h_c, d2))))  # [B,N,N,m_out]
@@ -212,18 +221,22 @@ class EGCL(nn.Module):
             # Frobenius norm over the whole (masked) edge batch, as in
             # ref EquivariantGraphNeuralNetwork.py:64.
             norm = jnp.sqrt(
-                jnp.sum(d2[..., 0] * pair_mask.astype(dt), axis=(-1, -2))
+                jnp.sum(d2_f[..., 0] * pair_mask.astype(jnp.float32),
+                        axis=(-1, -2))
             )[..., None, None, None]
         else:
             # safe sqrt: masked (diagonal/padded) pairs have d2 == 0 whose
             # sqrt-gradient is inf; 0*inf = NaN would poison the backward
             # pass through the mask multiply, so substitute 1 under the mask.
-            pmb = pm > 0
-            norm = jnp.sqrt(jnp.where(pmb, jnp.maximum(d2, 1e-12), 1.0))
-        diff = x_c[:, :, None, :] - x_c[:, None, :, :]    # [B,N,N,3]
-        upd = diff * s / (norm + 1.0)
-        upd = upd * pm
-        x_new = x_c + jnp.sum(upd, axis=2)
+            pmb = pm_f > 0
+            norm = jnp.sqrt(jnp.where(pmb, jnp.maximum(d2_f, 1e-12), 1.0))
+        # sum_j (x_i - x_j) w_ij  ==  x_i * sum_j w_ij  -  (w @ x): the
+        # decomposed form never materialises the [B,N,N,3] difference
+        # tensor — the j-reduction becomes one [N,N]x[N,3] MXU matmul.
+        w = (s.astype(jnp.float32) / (norm + 1.0)) * pm_f  # [B,N,N,1]
+        w_sum = jnp.sum(w, axis=2)                         # [B,N,1]
+        x_new = x_f + x_f * w_sum - jnp.einsum(
+            "bij,bjc->bic", w[..., 0], x_f)
 
         return h_new.astype(h.dtype), x_new.astype(x.dtype)
 
@@ -240,13 +253,16 @@ class EGCL(nn.Module):
             )
         dt = self.compute_dtype
         h_c = h.astype(dt)
-        x_c = x.astype(dt)
+        # f32 geometry (see _dense_call): diff/d2/norm/update in float32,
+        # MLP feature copy of d2 cast to compute_dtype.
+        x_f = x.astype(jnp.float32)
 
         gather = jax.vmap(lambda arr, ind: arr[ind])   # [N,*] , [N,K] -> [N,K,*]
-        x_j = gather(x_c, idx)                          # [B,N,K,3]
-        diff = x_c[:, :, None, :] - x_j
-        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)  # [B,N,K,1]
+        x_j = gather(x_f, idx)                          # [B,N,K,3]
+        diff = x_f[:, :, None, :] - x_j
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)  # [B,N,K,1] f32
         em = edge_mask[..., None].astype(dt)
+        em_f = edge_mask[..., None].astype(jnp.float32)
 
         # first layers via node projections + gather (no [.,2H+1] matmuls)
         pre_m_i, proj_m_j = m_first.node_projections(h_c)
@@ -268,9 +284,9 @@ class EGCL(nn.Module):
         )
 
         s = x_last(nn.silu(x_second(nn.silu(pre_x))))
-        norm = jnp.sqrt(jnp.where(em > 0, jnp.maximum(d2, 1e-12), 1.0))
-        upd = diff * s / (norm + 1.0) * em
-        x_new = x_c + jnp.sum(upd, axis=2)
+        norm = jnp.sqrt(jnp.where(em_f > 0, jnp.maximum(d2, 1e-12), 1.0))
+        upd = diff * (s.astype(jnp.float32) / (norm + 1.0)) * em_f
+        x_new = x_f + jnp.sum(upd, axis=2)
         return h_new.astype(h.dtype), x_new.astype(x.dtype)
 
 

@@ -69,11 +69,16 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim):
         jnp.zeros((nb, lp["mlp_m_dense1"]["kernel"].shape[1]), dt),
         (axis,), to="varying",
     )
-    upd0 = jax.lax.pcast(jnp.zeros((nb, 3), dt), (axis,), to="varying")
+    upd0 = jax.lax.pcast(
+        jnp.zeros((nb, 3), jnp.float32), (axis,), to="varying"
+    )
 
     def step(carry, _):
         bm_r, bx_r, x_r, mask_r, idx_r, m_sum, upd = carry
-        diff = x_i.astype(dt)[:, None, :] - x_r.astype(dt)[None, :, :]
+        # f32 geometry (see nn/egnn.py _dense_call): pair differences and
+        # distances in float32; only the MLP feature copy casts to dt.
+        diff = (x_i.astype(jnp.float32)[:, None, :]
+                - x_r.astype(jnp.float32)[None, :, :])
         d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
         pm = (
             mask_i[:, None, None] * mask_r[None, :, None]
@@ -97,7 +102,9 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim):
             + lp["mlp_x_dense2"]["bias"].astype(dt)
         )
         norm = jnp.sqrt(jnp.where(pm > 0, jnp.maximum(d2, 1e-12), 1.0))
-        upd = upd + jnp.sum(diff * s / (norm + 1.0) * pm, axis=1)
+        upd = upd + jnp.sum(
+            diff * (s.astype(jnp.float32) / (norm + 1.0))
+            * pm.astype(jnp.float32), axis=1)
 
         # rotate the source block to the next device
         rot = lambda v: jax.lax.ppermute(v, axis, perm)
@@ -115,7 +122,7 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim):
                      jnp.concatenate([h_c, m_sum], axis=-1), dt)),
         dt,
     )
-    x_new = x_i.astype(dt) + upd
+    x_new = x_i.astype(jnp.float32) + upd
     return h_new.astype(h_i.dtype), x_new.astype(x_i.dtype)
 
 

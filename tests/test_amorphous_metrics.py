@@ -14,6 +14,7 @@ from diffusion_model_tpu.evals.amorphous import (
     bond_angle_samples,
     coordination_stats,
     envelope_matched_cloud,
+    excess_rdf_cos,
     exo_rdf_resampling_ceiling,
     pair_distances,
     radial_envelope,
@@ -118,13 +119,27 @@ class TestPanel:
         p = structure_panel(pos, spec, pos, spec, mask)
         assert p["aggregate_rdf_cos_structureless_floor"] < 0.95
 
-    def test_cloud_preserves_radii(self):
-        cells = [amorphous_network_cell(seed=1, num_atoms=48)]
+    def test_cloud_matches_envelope_distribution_not_exact_radii(self):
+        """The cloud must match the POOLED radial distribution but NOT
+        reuse per-atom radii — exact reuse preserves all exO-centred
+        distances (the exO sits at ~the CoM) and the floor inherits the
+        fine structure it is supposed to erase."""
+        cells = [amorphous_network_cell(seed=i, num_atoms=256)
+                 for i in range(4)]
         pos, _, mask = _stack(cells)
         cloud = envelope_matched_cloud(pos, mask, np.random.default_rng(0))
-        r0 = np.sort(np.linalg.norm(pos[0] - pos[0].mean(0), axis=-1))
-        r1 = np.sort(np.linalg.norm(cloud[0] - pos[0].mean(0), axis=-1))
-        np.testing.assert_allclose(r0, r1, atol=1e-4)
+        r0 = np.sort(np.concatenate(
+            [np.linalg.norm(p - p.mean(0), axis=-1) for p in pos]))
+        r1 = np.sort(np.concatenate(
+            [np.linalg.norm(c - c.mean(0), axis=-1) for c in cloud]))
+        # distribution-level match: pooled quantiles within a few percent
+        for q in (25, 50, 75, 95):
+            assert abs(np.percentile(r0, q) - np.percentile(r1, q)) \
+                < 0.05 * max(np.percentile(r0, q), 1.0)
+        # but NOT an exact per-atom radius copy within each cell
+        rc0 = np.sort(np.linalg.norm(pos[0] - pos[0].mean(0), axis=-1))
+        rc1 = np.sort(np.linalg.norm(cloud[0] - pos[0].mean(0), axis=-1))
+        assert np.abs(rc0 - rc1).max() > 1e-3
 
     def test_radial_envelope_keys(self):
         cells = [amorphous_network_cell(seed=1, num_atoms=48)]
@@ -134,6 +149,44 @@ class TestPanel:
         assert env["p25"] < env["p95"]
 
 
+class TestExcessRdf:
+    """The envelope-subtracted readout: at large dense cells the RAW
+    aggregate-RDF cosine is dominated by the smooth radial-envelope
+    background — an envelope-matched structureless cloud can score raw
+    cosine ABOVE the resampling ceiling (measured at 512 atoms, round 3).
+    The excess cosine subtracts each stack's own cloud background, so a
+    structureless generator lands near 0 while ground truth vs ground
+    truth stays high."""
+
+    def test_self_consistency_high(self):
+        cells = [amorphous_network_cell(seed=i, num_atoms=96)
+                 for i in range(4)]
+        pos, _, mask = _stack(cells)
+        assert excess_rdf_cos(pos, mask, pos, mask) > 0.95
+
+    def test_structureless_cloud_scores_near_zero(self):
+        cells = [amorphous_network_cell(seed=i, num_atoms=96)
+                 for i in range(4)]
+        pos, _, mask = _stack(cells)
+        cloud = envelope_matched_cloud(pos, mask, np.random.default_rng(7))
+        assert abs(excess_rdf_cos(pos, mask, cloud, mask)) < 0.45
+
+    def test_bracket_coherent_where_raw_is_not(self):
+        """Raw floor can exceed the raw resampling score on envelope-
+        dominated stacks; the excess bracket stays ordered
+        floor < resample regardless."""
+        cells_a = [amorphous_network_cell(seed=i, num_atoms=96)
+                   for i in range(4)]
+        cells_b = [amorphous_network_cell(seed=100 + i, num_atoms=96)
+                   for i in range(4)]
+        pa, _, ma = _stack(cells_a)
+        pb, _, mb = _stack(cells_b)
+        cloud = envelope_matched_cloud(pa, ma, np.random.default_rng(3))
+        resample = excess_rdf_cos(pa, ma, pb, mb)
+        floor = excess_rdf_cos(pa, ma, cloud, ma)
+        assert floor < resample
+
+
 class TestCeiling:
     def test_ceiling_estimator_runs_and_bounds(self):
         f = lambda s: amorphous_network_cell(seed=s, num_atoms=48)
@@ -141,6 +194,9 @@ class TestCeiling:
         assert 0.0 < c["mean"] <= 1.0
         assert c["min"] <= c["mean"]
         assert c["pairs"] == 2 and c["num_cells"] == 4
+        # excess-protocol ceiling rides along
+        assert -1.0 <= c["excess_mean"] <= 1.0
+        assert c["excess_sd"] >= 0.0
 
     def test_network_ceiling_beats_packing(self):
         """The motivating measurement: the CRN generator's aggregate
