@@ -62,6 +62,16 @@ def main():
                    help="variance multiplier for the EGCL node-MLP output "
                         "init (config.h_init_scale); ~1/K^2 tames the "
                         "non-residual h-update blowup at large cells")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--max_grad_norm", type=float, default=1.0,
+                   help="global-norm gradient clip. Network-data runs at "
+                        "192+/kNN-32 sit in the always-clipping regime "
+                        "(grad norms 1e4-1e5), so the effective step size "
+                        "is lr*clip: 2e-4*100=0.02 reignites the non-"
+                        "residual h-update blowup after ONE optimizer "
+                        "step (f32 too — not a TPU numerics issue); "
+                        "lr*clip<=2e-3 is stable "
+                        "(benchmarks/probe_network_nan.py)")
     p.add_argument("--generator", type=str, default="packing",
                    choices=("packing", "network"),
                    help="'packing' = hard-sphere amorphous_cell (no "
@@ -106,7 +116,8 @@ def main():
         n_max=args.train_max, neighbor_k=args.neighbor_k,
         batch_size=args.batch_size,
         num_diffusion_timestep=args.timesteps, num_epochs=args.epochs,
-        lr=2e-4, optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
+        lr=args.lr, max_grad_norm=args.max_grad_norm,
+        optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
         gen_num_per_spectrum=2,
         global_radius_feature=args.global_radius,
         h_init_scale=args.h_init_scale,
@@ -186,6 +197,7 @@ def main():
     out = {"config": f"size_gen_knn{args.neighbor_k}_train"
                      f"{args.train_min}-{args.train_max}_{args.epochs}ep"
                      f"_{args.generator}"
+                     f"_lr{args.lr:g}_clip{args.max_grad_norm:g}"
                      + ("_gr" if args.global_radius else ""),
            "sizes": results}
     with open(os.path.join(args.out_dir, "size_gen_summary.json"),
