@@ -148,6 +148,16 @@ class Config:
     # NaN epochs. ~1/K^2 (e.g. 1e-3 at K=32) holds the init-time scale
     # flat; 1.0 is the reference-equivalent lecun init. Trained model
     # family is unchanged — this only moves the starting point.
+    h_residual: bool = False
+    # opt-in residual node update ``h' = h + mlp_h([h | sum m])`` on layers
+    # whose input/output widths match (all but the first — layer 0 maps the
+    # assembled feature width to h_size). The reference update is
+    # NON-residual (ref EquivariantGraphNeuralNetwork.py:68-69), which is
+    # the root cause of the large-cell h-magnitude blowup
+    # (benchmarks/probe_network_nan.py): a single optimizer step of
+    # effective size lr*max_grad_norm ~ 0.02 re-ignites ~0.2*K-per-layer
+    # growth. The residual form is the standard conditioning fix; default
+    # False preserves exact reference parity.
     global_radius_feature: bool = False
     # append log1p(|x - CoM|) to every node's input features (an E(3)-
     # invariant global-envelope signal). With kNN edges a node's receptive

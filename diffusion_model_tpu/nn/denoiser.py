@@ -102,6 +102,7 @@ class DiffusionDenoiser(nn.Module):
             compute_dtype=dt,
             zero_init_x=cfg.zero_init_x,
             h_init_scale=cfg.h_init_scale,
+            h_residual=cfg.h_residual,
             name="egnn",
         )(h_in, pos_t, edges)
 

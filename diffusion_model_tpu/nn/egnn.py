@@ -127,6 +127,10 @@ class EGCL(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     zero_init_x: bool = True
     h_init_scale: float = 1.0
+    h_residual: bool = False
+    # ``h_residual`` switches the node update to ``h + mlp_h(...)`` when
+    # input/output widths match (config.h_residual — conditioning fix for
+    # the reference's non-residual update; False = exact reference form).
     # ``h_init_scale`` damps the variance of the node-MLP output kernel
     # (``mlp_h_dense1``) at initialisation. The reference h update is
     # non-residual (``updated_h = mlp_h([h | sum_j m_ij])``, ref
@@ -214,6 +218,8 @@ class EGCL(nn.Module):
         h_new = h_dense1(
             nn.silu(h_dense0(jnp.concatenate([h_c, m_sum], axis=-1)))
         )
+        if self.h_residual and h_new.shape[-1] == h_c.shape[-1]:
+            h_new = h_new + h_c
 
         # x-branch: scalar weight per edge, equivariant difference update.
         s = x_last(nn.silu(x_second(nn.silu(x_first(h_c, d2)))))
@@ -282,6 +288,8 @@ class EGCL(nn.Module):
         h_new = h_dense1(
             nn.silu(h_dense0(jnp.concatenate([h_c, m_sum], axis=-1)))
         )
+        if self.h_residual and h_new.shape[-1] == h_c.shape[-1]:
+            h_new = h_new + h_c
 
         s = x_last(nn.silu(x_second(nn.silu(pre_x))))
         norm = jnp.sqrt(jnp.where(em_f > 0, jnp.maximum(d2, 1e-12), 1.0))
@@ -303,6 +311,7 @@ class EquivariantGNN(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     zero_init_x: bool = True
     h_init_scale: float = 1.0
+    h_residual: bool = False
 
     @nn.compact
     def __call__(self, h, x, edges):
@@ -317,6 +326,7 @@ class EquivariantGNN(nn.Module):
                 compute_dtype=self.compute_dtype,
                 zero_init_x=self.zero_init_x,
                 h_init_scale=self.h_init_scale,
+                h_residual=self.h_residual,
                 name=f"egcl_{l}",
             )(h, x, edges)
         return h, x

@@ -114,7 +114,10 @@ def fast_denoise_fn(cfg: Config, denoiser_params,
             cat = jnp.concatenate([h_c, m_sum.astype(dt)], axis=-1)
             h0 = jax.tree.map(lambda a: a.astype(dt), lp["h0"])
             h1 = jax.tree.map(lambda a: a.astype(dt), lp["h1"])
-            h = _dense(h1, jax.nn.silu(_dense(h0, cat))).astype(h.dtype)
+            h_upd = _dense(h1, jax.nn.silu(_dense(h0, cat)))
+            if cfg.h_residual and h_upd.shape[-1] == h_c.shape[-1]:
+                h_upd = h_upd + h_c
+            h = h_upd.astype(h.dtype)
             x = x_new.astype(pos.dtype)
 
         eps_x = remove_mean((x - pos) * mask3, mask)

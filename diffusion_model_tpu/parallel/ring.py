@@ -36,7 +36,8 @@ def _silu(v):
     return v * jax.nn.sigmoid(v)
 
 
-def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim):
+def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim,
+               h_residual=False):
     """One EGCL over ring-rotated source blocks.
 
     Args (per device):
@@ -122,6 +123,8 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim):
                      jnp.concatenate([h_c, m_sum], axis=-1), dt)),
         dt,
     )
+    if h_residual and h_new.shape[-1] == h_c.shape[-1]:
+        h_new = h_new + h_c
     x_new = x_i.astype(jnp.float32) + upd
     return h_new.astype(h_i.dtype), x_new.astype(x_i.dtype)
 
@@ -179,6 +182,7 @@ def ring_denoise_apply(cfg: Config, mesh: Mesh, axis: str = "data"):
             h, x = _egcl_ring(
                 p["egnn"][f"egcl_{l}"], h, x, mask, idx,
                 n_total=None, axis=axis, dt=dt, hdim=hdim,
+                h_residual=cfg.h_residual,
             )
 
         # CoM over the full (sharded) node set

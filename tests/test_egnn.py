@@ -366,3 +366,82 @@ class TestHInitScale:
         b = nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal")(k, (64, 32), jnp.float32)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestHResidual:
+    """config.h_residual: opt-in residual node update (nn/egnn.py).
+
+    The flag must (a) be exactly ``h_plain + h_in`` on width-matched
+    layers, identical on the x branch, (b) be a no-op on width-mismatched
+    layers (layer 0 of a real stack), (c) agree between the dense and
+    sparse (kNN) paths, and (d) keep the untrained L-layer magnitude
+    bounded where the non-residual stack blows up (the conditioning fix
+    for benchmarks/probe_network_nan.py).
+    """
+
+    def _pair(self, rng, h_dim, h_out, n=6):
+        h = jnp.asarray(rng.normal(size=(1, n, h_dim)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, n, 3)), jnp.float32)
+        mask = np.ones((1, n), np.float32)
+        mask[0, -1] = 0
+        pm = dense_pair_mask(jnp.asarray(mask))
+        kw = dict(m_hidden=32, m_out=16, x_hidden=32, h_hidden=32,
+                  h_out=h_out, zero_init_x=False)
+        plain = EGCL(h_residual=False, **kw)
+        res = EGCL(h_residual=True, **kw)
+        params = plain.init(jax.random.key(0), h, x, pm)
+        return plain, res, params, h, x, pm, mask
+
+    def test_residual_is_plain_plus_input(self, rng):
+        plain, res, params, h, x, pm, mask = self._pair(rng, 8, 8)
+        h_p, x_p = plain.apply(params, h, x, pm)
+        h_r, x_r = res.apply(params, h, x, pm)
+        np.testing.assert_allclose(np.asarray(h_r), np.asarray(h_p + h),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(x_r), np.asarray(x_p))
+
+    def test_noop_on_width_mismatch(self, rng):
+        plain, res, params, h, x, pm, mask = self._pair(rng, 12, 8)
+        h_p, _ = plain.apply(params, h, x, pm)
+        h_r, _ = res.apply(params, h, x, pm)
+        np.testing.assert_array_equal(np.asarray(h_r), np.asarray(h_p))
+
+    def test_dense_sparse_parity(self, rng):
+        from diffusion_model_tpu.ops.edges import knn_edges
+
+        plain, res, params, h, x, pm, mask = self._pair(rng, 8, 8)
+        k = 4
+        idx, em = knn_edges(x, jnp.asarray(mask), k)
+        h_d, x_d = res.apply(params, h, x, pm)
+        h_s, x_s = res.apply(params, h, x, (idx, em))
+        # k=4 covers all 4 real neighbours of each of the 5 real nodes,
+        # so the sparse graph equals the dense one on real nodes
+        real = mask[0] > 0
+        np.testing.assert_allclose(np.asarray(h_d)[0][real],
+                                   np.asarray(h_s)[0][real],
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(x_d)[0][real],
+                                   np.asarray(x_s)[0][real],
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bounds_untrained_stack(self, rng):
+        from diffusion_model_tpu.nn.egnn import EquivariantGNN
+
+        def mag(h_residual):
+            net = EquivariantGNN(L=5, m_hidden=64, m_out=64, x_hidden=64,
+                                 h_hidden=64, h_out=32,
+                                 h_init_scale=1e-3, h_residual=h_residual)
+            h = jnp.asarray(rng.normal(size=(1, 96, 32)), jnp.float32)
+            x = jnp.asarray(rng.normal(size=(1, 96, 3)), jnp.float32)
+            pm = dense_pair_mask(jnp.ones((1, 96), jnp.float32))
+            params = net.init(jax.random.key(7), h, x, pm)
+            h_out, _ = net.apply(params, h, x, pm)
+            return float(jnp.mean(jnp.abs(h_out)))
+
+        # with the damped init both stay finite, but the residual stack
+        # additionally PRESERVES the input signal (|h| ~ input scale)
+        # instead of replacing it with the near-zero mlp output
+        m_res = mag(True)
+        m_plain = mag(False)
+        assert 0.5 < m_res < 5.0   # ~ input scale (0.8): signal preserved
+        assert m_plain < 0.5       # input replaced by the damped mlp output
