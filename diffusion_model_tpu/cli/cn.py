@@ -45,6 +45,8 @@ def graphs_to_xy(graphs):
 
 
 def main(argv=None):
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # honour JAX_PLATFORMS=cpu under sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset_path", type=str, default=None)
     p.add_argument("--synthetic", type=int, default=256)

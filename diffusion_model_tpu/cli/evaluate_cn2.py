@@ -22,6 +22,8 @@ from diffusion_model_tpu.utils.logging import RunLogger, load_run_config
 
 
 def main(argv=None):
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # honour JAX_PLATFORMS=cpu under sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run_dir", type=str, required=True)
     args = p.parse_args(argv)

@@ -32,6 +32,8 @@ def _symbols(species):
 
 
 def main(argv=None):
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # honour JAX_PLATFORMS=cpu under sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--run_dir", type=str, required=True)
     p.add_argument("--method", type=str, default="atom_pair",

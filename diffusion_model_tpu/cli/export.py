@@ -80,6 +80,8 @@ def _calibrate_acceptance(cfg, trainer, state, batch_size: int,
 
 
 def main(argv=None):
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # honour JAX_PLATFORMS=cpu under sitecustomize
     args = build_parser().parse_args(argv)
     cfg = load_run_config(args.run_dir)
     if args.sample_steps is not None:

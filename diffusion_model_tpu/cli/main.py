@@ -86,6 +86,8 @@ def load_graphs(args, cfg: Config) -> list:
 
 
 def main(argv=None):
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # honour JAX_PLATFORMS=cpu under sitecustomize
     args = build_parser().parse_args(argv)
 
     if args.mode in ("generate_only", "evaluate_only"):

@@ -15,6 +15,8 @@ from diffusion_model_tpu.data.shells import RANGE_TO_SHELLS, build_dataset
 
 
 def main(argv=None):
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # honour JAX_PLATFORMS=cpu under sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--range", type=str, default="2NN",
                    choices=sorted(RANGE_TO_SHELLS))

@@ -17,6 +17,8 @@ from diffusion_model_tpu.evals import template_match
 
 
 def main(argv=None):
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # honour JAX_PLATFORMS=cpu under sitecustomize
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--reference_dataset_path", type=str, required=True)
     p.add_argument("--target_dataset_path", type=str, required=True)

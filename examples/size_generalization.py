@@ -62,6 +62,10 @@ def main():
                    help="variance multiplier for the EGCL node-MLP output "
                         "init (config.h_init_scale); ~1/K^2 tames the "
                         "non-residual h-update blowup at large cells")
+    p.add_argument("--h_residual", action="store_true",
+                   help="residual node update h + mlp_h(...) "
+                        "(config.h_residual) — the conditioning fix for "
+                        "the non-residual blowup at large cells")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global-norm gradient clip. Network-data runs at "
@@ -121,6 +125,7 @@ def main():
         gen_num_per_spectrum=2,
         global_radius_feature=args.global_radius,
         h_init_scale=args.h_init_scale,
+        h_residual=args.h_residual,
         checkpoint_every=500,  # long 512-atom runs survive interruption
     )
     print(f"devices: {jax.devices()}", flush=True)
@@ -198,6 +203,7 @@ def main():
                      f"{args.train_min}-{args.train_max}_{args.epochs}ep"
                      f"_{args.generator}"
                      f"_lr{args.lr:g}_clip{args.max_grad_norm:g}"
+                     + ("_hres" if args.h_residual else "")
                      + ("_gr" if args.global_radius else ""),
            "sizes": results}
     with open(os.path.join(args.out_dir, "size_gen_summary.json"),
