@@ -62,6 +62,11 @@ def main():
                    help="variance multiplier for the EGCL node-MLP output "
                         "init (config.h_init_scale); ~1/K^2 tames the "
                         "non-residual h-update blowup at large cells")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in out_dir "
+                        "(api.train resume) — long TPU runs can be "
+                        "relaunched after a tunnel/worker crash without "
+                        "losing trained epochs")
     p.add_argument("--h_residual", action="store_true",
                    help="residual node update h + mlp_h(...) "
                         "(config.h_residual) — the conditioning fix for "
@@ -138,7 +143,8 @@ def main():
     ]
     logger = RunLogger(args.out_dir, cfg)
     t0 = time.time()
-    trainer, state, _ = api.train(cfg, train_graphs, args.out_dir, logger)
+    trainer, state, _ = api.train(cfg, train_graphs, args.out_dir, logger,
+                                  resume=args.resume)
     print(f"trained {args.epochs} epochs in {time.time()-t0:.0f}s",
           flush=True)
 
