@@ -41,6 +41,8 @@ def main():
     p.add_argument("--n_max", type=int, default=8)
     p.add_argument("--shells", type=int, default=1,
                    help="1 = CN Si neighbours only; 2 = + bridging O shell")
+    p.add_argument("--h_residual", action="store_true",
+                   help="opt-in residual node update (config.h_residual)")
     p.add_argument("--tag", type=str, default=None,
                    help="config label recorded in the summary JSON")
     args = p.parse_args()
@@ -70,6 +72,7 @@ def main():
         optimizer="RAdamScheduleFree",
         compute_dtype="bfloat16",
         noise_schedule=args.noise_schedule,
+        h_residual=args.h_residual,
     )
     print(f"devices: {jax.devices()}", flush=True)
     graphs = synthetic_sio2_dataset(cfg.seed, args.num, cfg.n_max,
