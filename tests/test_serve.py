@@ -291,3 +291,29 @@ class TestServe:
                                  species=np.asarray(cond.species))
         np.testing.assert_array_equal(species, np.asarray(cond.species))
         assert np.isfinite(pos).all()
+
+    def test_h_residual_export_roundtrip(self, tmp_path):
+        """config.h_residual flows through the AOT export: the artifact
+        reproduces the live sampler with the residual node update on."""
+        cfg = tiny_cfg(h_residual=True)
+        data = synthetic_sio2_dataset(0, 4, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        cond = collate(data[:2], cfg.n_max)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), cond)
+
+        path = str(tmp_path / "sampler_hres.bin")
+        export_sampler(cfg, trainer, state, path, batch_size=2,
+                       platforms=("cpu",))
+        served = ServedSampler(path)
+        pos, species, accepted = served(
+            3, np.asarray(cond.spectrum), np.asarray(cond.exo),
+            np.asarray(cond.mask),
+        )
+        assert np.isfinite(pos).all()
+
+        params = state.eval_params(cfg)
+        res = sample(trainer.denoise_fn(params),
+                     trainer.schedule_for(params), cfg,
+                     jax.random.PRNGKey(jnp.uint32(3)), cond)
+        np.testing.assert_allclose(pos, np.asarray(res.pos), atol=1e-4)
