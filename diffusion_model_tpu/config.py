@@ -148,6 +148,15 @@ class Config:
     # NaN epochs. ~1/K^2 (e.g. 1e-3 at K=32) holds the init-time scale
     # flat; 1.0 is the reference-equivalent lecun init. Trained model
     # family is unchanged — this only moves the starting point.
+    t_bias_frac: float = 0.0
+    t_bias_lo: int = 100
+    t_bias_hi: int = 600
+    # timestep importance sampling (train/loss.py diffuse_batch): draw
+    # this fraction of each batch's per-graph timesteps uniformly from
+    # [t_bias_lo, t_bias_hi] instead of [1, T]. Motivated by the per-t
+    # loss profile of large-cell runs (the chemical-order deficit sits in
+    # the mid-noise structure-formation band, docs/quality/
+    # size512net_per_t_profile.json). 0.0 = reference-exact uniform.
     h_residual: bool = False
     # opt-in residual node update ``h' = h + mlp_h([h | sum m])`` on layers
     # whose input/output widths match (all but the first — layer 0 maps the

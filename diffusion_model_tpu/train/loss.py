@@ -33,6 +33,19 @@ def diffuse_batch(schedule: Schedule, cfg: Config, key, batch: GraphBatch):
     b = batch.batch_size
     k_t, k_pos, k_h = jax.random.split(key, 3)
     t = jax.random.randint(k_t, (b,), 1, cfg.num_diffusion_timestep + 1)
+    if cfg.t_bias_frac > 0.0:
+        # importance-sample the structure-formation band: per-t loss
+        # profiling (docs/quality/size512net_per_t_profile.json) localises
+        # the large-cell chemical-order deficit at mid noise levels, so an
+        # opt-in fraction of each batch redraws t uniformly from
+        # [t_bias_lo, t_bias_hi]. Default 0.0 = the reference's plain
+        # uniform draw (ref parts/train_per_iretation.py:43,56).
+        k_sel, k_band = jax.random.split(k_t)
+        t_band = jax.random.randint(
+            k_band, (b,), cfg.t_bias_lo, cfg.t_bias_hi + 1
+        )
+        sel = jax.random.bernoulli(k_sel, cfg.t_bias_frac, (b,))
+        t = jnp.where(sel, t_band, t)
     pos_t, eps_pos = diffuse_zero_to_t(
         schedule, k_pos, batch.pos, t, mode="pos", mask=batch.mask
     )

@@ -71,6 +71,11 @@ def main():
                    help="residual node update h + mlp_h(...) "
                         "(config.h_residual) — the conditioning fix for "
                         "the non-residual blowup at large cells")
+    p.add_argument("--t_bias_frac", type=float, default=0.0,
+                   help="fraction of per-graph timesteps drawn from the "
+                        "mid-noise band (config.t_bias_frac) — targets "
+                        "the structure-formation underfit, docs/quality/"
+                        "size512net_per_t_profile.json")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global-norm gradient clip. Network-data runs at "
@@ -131,6 +136,7 @@ def main():
         global_radius_feature=args.global_radius,
         h_init_scale=args.h_init_scale,
         h_residual=args.h_residual,
+        t_bias_frac=args.t_bias_frac,
         checkpoint_every=500,  # long 512-atom runs survive interruption
     )
     print(f"devices: {jax.devices()}", flush=True)
@@ -210,6 +216,7 @@ def main():
                      f"_{args.generator}"
                      f"_lr{args.lr:g}_clip{args.max_grad_norm:g}"
                      + ("_hres" if args.h_residual else "")
+                     + (f"_tb{args.t_bias_frac:g}" if args.t_bias_frac else "")
                      + ("_gr" if args.global_radius else ""),
            "sizes": results}
     with open(os.path.join(args.out_dir, "size_gen_summary.json"),

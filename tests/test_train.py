@@ -60,6 +60,39 @@ class TestLossMechanics:
                 np.asarray(eps_pos[g])[m].mean(0), 0, atol=1e-5
             )
 
+    def test_t_bias_band_sampling(self):
+        """config.t_bias_frac: opt-in mid-band timestep oversampling.
+
+        frac=0 must reproduce the reference-exact uniform draw bit-for-bit
+        (same key path); frac=1 confines every t to [t_bias_lo, t_bias_hi];
+        fractional values mix."""
+        cfg = tiny_cfg()
+        batches = make_batches(cfg, num=4)
+        b = batches[0]
+        s = predefined_schedule(cfg)
+        _, _, t_plain, _, _ = diffuse_batch(s, cfg, jax.random.key(0), b)
+        cfg0 = tiny_cfg(t_bias_frac=0.0, t_bias_lo=10, t_bias_hi=20)
+        _, _, t0, _, _ = diffuse_batch(s, cfg0, jax.random.key(0), b)
+        np.testing.assert_array_equal(np.asarray(t_plain), np.asarray(t0))
+
+        cfg1 = tiny_cfg(t_bias_frac=1.0, t_bias_lo=10, t_bias_hi=20)
+        draws = []
+        for i in range(16):
+            _, _, t1, _, _ = diffuse_batch(s, cfg1, jax.random.key(i), b)
+            draws.append(np.asarray(t1))
+        draws = np.concatenate(draws)
+        assert draws.min() >= 10 and draws.max() <= 20
+
+        cfg_half = tiny_cfg(t_bias_frac=0.5, t_bias_lo=10, t_bias_hi=20)
+        draws = []
+        for i in range(64):
+            _, _, th, _, _ = diffuse_batch(s, cfg_half, jax.random.key(i), b)
+            draws.append(np.asarray(th))
+        draws = np.concatenate(draws)
+        in_band = ((draws >= 10) & (draws <= 20)).mean()
+        # 50% forced into the band + ~22% of the uniform arm lands there
+        assert 0.45 < in_band < 0.8
+
     def test_epsilon_loss_normalisation(self):
         mask = jnp.asarray([[1.0, 1, 0], [1, 0, 0]])
         ex_p = jnp.ones((2, 3, 3))
