@@ -25,6 +25,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _device_health_probe(timeout_s: float = 180.0) -> bool:
+    """Fail fast if the (remote) device is unreachable.
+
+    A wedged TPU-tunnel worker makes every device op hang forever rather
+    than error (observed 2026-08-17: the relay process died and even a
+    128x128 matmul blocked indefinitely). Running the probe in a daemon
+    thread lets the bench emit a diagnostic JSON line and exit instead of
+    hanging the driver.
+    """
+    import threading
+
+    ok = []
+
+    def probe():
+        x = jnp.ones((128, 128))
+        ok.append(float((x @ x).sum()))
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     from diffusion_model_tpu.config import Config
     from diffusion_model_tpu.data.split import batch_iterator
@@ -37,6 +60,15 @@ def main():
     p.add_argument("--run_dir", type=str, default=None,
                    help="bench a trained checkpoint from this run dir")
     args = p.parse_args()
+
+    if not _device_health_probe():
+        print(json.dumps({
+            "metric": "atoms*denoise_steps/sec/chip", "value": 0.0,
+            "unit": "atoms*steps/s", "vs_baseline": 0.0,
+            "error": "device unreachable: health probe (128x128 matmul) "
+                     "did not complete in 180s — TPU tunnel/worker down",
+        }))
+        return
 
     n_atoms = 192
     steps = 1000
