@@ -69,6 +69,13 @@ class Config:
     weight_decay: float = 1e-12
     max_grad_norm: float = 100.0
     optimizer: str = "RAdamScheduleFree"  # "Adam" | "AdamW" | "RAdamScheduleFree"
+    ema_decay: float = 0.0
+    # exponential moving average of the post-update parameters, used for
+    # evaluation/sampling when > 0 (standard DDPM/EDM practice the
+    # reference lacks — its schedule-free optimizer's built-in averaging
+    # plays the same role, so EMA is only valid with Adam/AdamW; the
+    # trainer rejects the RAdamScheduleFree+EMA combination). Typical
+    # values 0.999-0.9999. 0.0 = off (reference-exact).
     num_epochs: int = 3000
     patience: int = 5000
     seed: int = 2024

@@ -37,6 +37,30 @@ from diffusion_model_tpu.ops.edges import knn_edges
 from diffusion_model_tpu.train.loss import diffuse_batch, epsilon_loss
 
 
+class EmaState(flax.struct.PyTreeNode):
+    ema: Any
+
+
+def _ema_tail(decay: float) -> optax.GradientTransformation:
+    """Terminal chain element holding an exponential moving average of the
+    *post-update* parameters. Living inside the optimizer state keeps the
+    TrainState pytree structure unchanged (old checkpoints restore with the
+    same template when EMA is off) and checkpoints the average for free
+    when it is on. ``eval_params`` reads it back out."""
+
+    def init_fn(params):
+        return EmaState(ema=jax.tree.map(jnp.asarray, params))
+
+    def update_fn(updates, state, params=None):
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_params
+        )
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """Adam / AdamW(amsgrad) / schedule-free RAdam, as in the reference
     (ref parts/def_for_main.py:119-139) plus global-norm clipping
@@ -67,7 +91,19 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), base)
+    parts = [optax.clip_by_global_norm(cfg.max_grad_norm), base]
+    if cfg.ema_decay > 0.0:
+        if cfg.optimizer == "RAdamScheduleFree":
+            # schedule-free already evaluates at its own averaged iterate
+            # (the x-sequence); stacking a second average on the online
+            # y-iterates evaluates neither sequence — reject rather than
+            # silently sample from an unintended parameter family.
+            raise ValueError(
+                "ema_decay > 0 is redundant with RAdamScheduleFree's "
+                "built-in averaging; use optimizer='Adam'/'AdamW' with EMA"
+            )
+        parts.append(_ema_tail(cfg.ema_decay))
+    return optax.chain(*parts)
 
 
 @flax.struct.dataclass
@@ -80,8 +116,14 @@ class TrainState:
         """Parameters to use for evaluation/sampling.
 
         For schedule-free optimizers the online params are the *training*
-        iterates; evaluation uses the averaged point.
+        iterates; evaluation uses the averaged point. With ``ema_decay`` on
+        (Adam/AdamW only) evaluation uses the EMA of the post-update
+        parameters (standard diffusion practice — DDPM/EDM sample from the
+        average, not the last iterate).
         """
+        if cfg.ema_decay > 0.0:
+            # _ema_tail is always the terminal chain element
+            return self.opt_state[-1].ema
         if cfg.optimizer == "RAdamScheduleFree":
             # opt_state = (clip_state, schedule_free_state)
             sf_state = self.opt_state[1]

@@ -128,6 +128,68 @@ class TestOptimizers:
         _ = new_state.eval_params(cfg)
 
 
+class TestEma:
+    def test_ema_matches_manual_recursion(self):
+        """opt_state's terminal EmaState tracks decay*e + (1-decay)*p of
+        the post-update params; eval_params returns it."""
+        decay = 0.9
+        cfg = tiny_cfg(ema_decay=decay)
+        trainer = Trainer(cfg)
+        batches = make_batches(cfg, num=4)
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        manual = jax.tree.map(jnp.asarray, state.params)
+        key = jax.random.key(1)
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            state, _ = trainer.train_step(state, sub, batches[0])
+            manual = jax.tree.map(
+                lambda e, p: decay * e + (1 - decay) * p,
+                manual, state.params,
+            )
+        got = state.eval_params(cfg)
+        for a, b in zip(jax.tree.leaves(manual), jax.tree.leaves(got)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+        # the EMA lags the online iterate (it is a different point)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(got),
+                            jax.tree.leaves(state.params))
+        )
+
+    def test_ema_off_is_identity(self):
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        batches = make_batches(cfg, num=4)
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        state, _ = trainer.train_step(state, jax.random.key(1), batches[0])
+        got = state.eval_params(cfg)
+        assert got is state.params
+
+    def test_ema_rejected_with_schedule_free(self):
+        with pytest.raises(ValueError, match="ema_decay"):
+            Trainer(tiny_cfg(optimizer="RAdamScheduleFree", ema_decay=0.99))
+
+    def test_ema_checkpoint_roundtrip(self, tmp_path):
+        """The EMA average lives in opt_state, so a checkpoint carries it
+        and a resumed run keeps evaluating from the same average."""
+        cfg = tiny_cfg(ema_decay=0.95)
+        trainer = Trainer(cfg)
+        batches = make_batches(cfg, num=4)
+        state = trainer.init_state(jax.random.key(0), batches[0])
+        state, _ = trainer.train_step(state, jax.random.key(1), batches[0])
+        save_checkpoint(str(tmp_path / "ck"), state, cfg, step=1)
+        template = trainer.init_state(jax.random.key(0), batches[0])
+        restored, rcfg = restore_checkpoint(str(tmp_path / "ck"), template)
+        assert rcfg.ema_decay == cfg.ema_decay
+        for a, b in zip(
+            jax.tree.leaves(state.eval_params(cfg)),
+            jax.tree.leaves(restored.eval_params(rcfg)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 class TestEndToEnd:
     @pytest.mark.slow
     def test_loss_decreases(self):
