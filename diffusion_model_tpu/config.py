@@ -108,6 +108,14 @@ class Config:
     guidance_scale: float = 0.0
     # w > 0 blends eps = (1+w)*eps_cond - w*eps_uncond (two denoiser calls
     # per step). 0 = plain conditional sampling (reference behaviour).
+    sample_noise_scale: float = 1.0
+    # sampling temperature: multiplies the posterior std of the noise
+    # injected by every ancestral reverse step AND the t=0 epilogue.
+    # 1.0 = the exact reference chain; < 1 trades sample diversity for
+    # sharper distributions (a zero-training-cost lever against the
+    # measured final-step jitter that blurs bond peaks on large cells,
+    # docs/quality/size512net_per_t_profile.json); 0.0 coincides with
+    # deterministic_sampling.
     deterministic_sampling: bool = False
     # DDIM-style eta=0 reverse process: the ancestral step's noise term is
     # dropped (mu only), making generation a deterministic function of the

@@ -122,14 +122,17 @@ def calculate_mu(schedule: Schedule, z, eps, t):
 
 def reverse_diffuse_one_step(schedule: Schedule, key, z, eps, t,
                              mode: str = "pos", mask=None,
-                             deterministic: bool = False):
+                             deterministic: bool = False,
+                             noise_scale: float = 1.0):
     """One ancestral reverse step z_t -> z_{t-1} (ref diffusion_x_h.py:75-90).
 
     ``deterministic=True`` drops the noise term (DDIM eta=0): the step
-    reduces to the posterior mean.
+    reduces to the posterior mean. ``noise_scale`` (sampling temperature)
+    multiplies the posterior std of the injected noise: 1.0 is the exact
+    ancestral chain (reference), 0.0 coincides with ``deterministic``.
     """
     mu = calculate_mu(schedule, z, eps, t)
-    if deterministic:
+    if deterministic or noise_scale == 0.0:
         out = mu
     else:
         alpha_t = schedule.alpha(t)
@@ -145,28 +148,30 @@ def reverse_diffuse_one_step(schedule: Schedule, key, z, eps, t,
         std = jnp.sqrt(jnp.maximum(sq_sigma_ts, 0.0)
                        * sq_sigma_s / sq_sigma_t)
         noise = _noise_like(key, z, mode, mask)
-        out = mu + _bcast(std, z) * noise
+        out = mu + noise_scale * _bcast(std, z) * noise
     if mask is not None:
         out = out * jnp.expand_dims(mask.astype(z.dtype), -1)
     return out
 
 
 def final_denoise_step(schedule: Schedule, key, z, eps, mode: str = "pos",
-                       mask=None, deterministic: bool = False):
+                       mask=None, deterministic: bool = False,
+                       noise_scale: float = 1.0):
     """The explicit t=0 epilogue (ref parts/train_per_iretation.py:391-426):
 
         mu = z/alpha_0 - sigma_0 * eps / alpha_0
         z' = mu + (sigma_0/alpha_0) * noise   (noise dropped when
-                                               ``deterministic``)
+                                               ``deterministic``, scaled by
+                                               ``noise_scale`` otherwise)
     """
     alpha_0 = schedule.alpha(0)
     sigma_0 = schedule.sigma(0)
     mu = z / _bcast(alpha_0, z) - _bcast(sigma_0 / alpha_0, z) * eps
-    if deterministic:
+    if deterministic or noise_scale == 0.0:
         out = mu
     else:
         noise = _noise_like(key, z, mode, mask)
-        out = mu + _bcast(sigma_0 / alpha_0, z) * noise
+        out = mu + noise_scale * _bcast(sigma_0 / alpha_0, z) * noise
     if mask is not None:
         out = out * jnp.expand_dims(mask.astype(z.dtype), -1)
     return out

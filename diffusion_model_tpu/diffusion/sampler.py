@@ -168,6 +168,7 @@ def sample(
         new_pos = reverse_diffuse_one_step(
             schedule, k1, pos, eps_x, t, mode="pos", mask=mask,
             deterministic=cfg.deterministic_sampling,
+            noise_scale=cfg.sample_noise_scale,
         )
         if cfg.diffuse_species:
             # The reference applies the reverse step to the scaled species
@@ -175,6 +176,7 @@ def sample(
             new_h = reverse_diffuse_one_step(
                 schedule, k2, scale * h, eps_h, t, mode="h", mask=mask,
                 deterministic=cfg.deterministic_sampling,
+                noise_scale=cfg.sample_noise_scale,
             )
         else:
             new_h = h
@@ -191,11 +193,13 @@ def sample(
     eps_x, eps_h = denoise(pos, h, 0.0)
     key, k1, k2 = jax.random.split(key, 3)
     pos = final_denoise_step(schedule, k1, pos, eps_x, mode="pos", mask=mask,
-                             deterministic=cfg.deterministic_sampling)
+                             deterministic=cfg.deterministic_sampling,
+                             noise_scale=cfg.sample_noise_scale)
     if cfg.diffuse_species:
         h = final_denoise_step(schedule, k2, scale * h, eps_h, mode="h",
                                mask=mask,
-                               deterministic=cfg.deterministic_sampling)
+                               deterministic=cfg.deterministic_sampling,
+                               noise_scale=cfg.sample_noise_scale)
         species = jax.nn.one_hot(
             jnp.argmax(h, axis=-1), a_dim, dtype=pos.dtype
         )

@@ -45,6 +45,11 @@ def main():
                    help="conditions per jitted sampling call")
     p.add_argument("--sample_steps", type=int, default=250)
     p.add_argument("--sample_grid", type=str, default="uniform")
+    p.add_argument("--sample_noise_scale", type=float, default=1.0,
+                   help="sampling temperature (config.sample_noise_scale): "
+                        "< 1 sharpens distributions at zero training cost "
+                        "— probes how much of a large-cell RDF deficit is "
+                        "ancestral sampling jitter vs model error")
     p.add_argument("--generator", type=str, default="packing",
                    choices=("packing", "network"))
     p.add_argument("--out", type=str, default="")
@@ -83,6 +88,7 @@ def main():
         n_max=args.size,
         sample_steps=args.sample_steps,
         sample_grid=args.sample_grid,
+        sample_noise_scale=args.sample_noise_scale,
     )
     def make_cell(seed, num_atoms):
         if args.generator == "network":
@@ -106,6 +112,7 @@ def main():
            "generate_seconds": round(gen_s, 1),
            "sample_steps": args.sample_steps,
            "sample_grid": args.sample_grid,
+           "sample_noise_scale": args.sample_noise_scale,
            "chunk": args.chunk}
     if len(keep):
         gp = res["generated_pos"][keep]
@@ -154,8 +161,10 @@ def main():
 
     out = {"config": f"{os.path.basename(args.run_dir)}_eval_n{args.size}",
            "result": row}
+    ns_tag = (f"_ns{args.sample_noise_scale:g}"
+              if args.sample_noise_scale != 1.0 else "")
     out_path = args.out or os.path.join(
-        args.run_dir, f"eval_n{args.size}_s{args.sample_steps}.json")
+        args.run_dir, f"eval_n{args.size}_s{args.sample_steps}{ns_tag}.json")
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     np.savez_compressed(

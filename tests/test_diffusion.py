@@ -348,3 +348,39 @@ class TestDeterministicSampling:
         r3 = sample(fn, s, cfg.replace(deterministic_sampling=False),
                     jax.random.key(3), cond)
         assert not np.allclose(np.asarray(r1.pos), np.asarray(r3.pos))
+
+
+class TestSampleNoiseScale:
+    @pytest.mark.slow
+    def test_temperature_endpoints_and_interior(self):
+        """sample_noise_scale: 0.0 coincides with the DDIM mean chain,
+        1.0 is the exact reference ancestral chain, interior values land
+        elsewhere (same key throughout)."""
+        cfg = small_cfg(noise_precision=0.05)
+        cond = make_cond(cfg, b=2, n_real=4)
+        model = DiffusionDenoiser(cfg)
+        b, n = cond.mask.shape
+        params = model.init(
+            jax.random.key(0),
+            jnp.zeros((b, n, cfg.atom_type_size)), cond.pos, cond.spectrum,
+            cond.exo, jnp.zeros((b, n, 1)), cond.mask, cond.pair_mask(),
+        )
+        fn = lambda *a: model.apply(params, *a)
+        s = predefined_schedule(cfg)
+        key = jax.random.key(3)
+        r_ddim = sample(fn, s, cfg.replace(deterministic_sampling=True),
+                        key, cond)
+        r_zero = sample(fn, s, cfg.replace(sample_noise_scale=0.0),
+                        key, cond)
+        np.testing.assert_array_equal(
+            np.asarray(r_ddim.pos), np.asarray(r_zero.pos)
+        )
+        r_ref = sample(fn, s, cfg, key, cond)  # default 1.0
+        r_half = sample(fn, s, cfg.replace(sample_noise_scale=0.5),
+                        key, cond)
+        assert not np.allclose(np.asarray(r_ref.pos), np.asarray(r_half.pos))
+        assert not np.allclose(np.asarray(r_zero.pos), np.asarray(r_half.pos))
+        # padded nodes stay inert at every temperature
+        pad = np.asarray(cond.mask) == 0
+        for r in (r_ref, r_half, r_zero):
+            assert np.all(np.asarray(r.pos)[pad] == 0)
