@@ -77,15 +77,21 @@ def train(cfg: Config, dataset: list, run_dir: str,
     example = collate(train_set[: cfg.batch_size], cfg.n_max)
     key = jax.random.key(cfg.seed)
     key, init_key = jax.random.split(key)
-    state = trainer.init_state(init_key, example)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
 
     start_epoch = 0
+    state = None
     if resume:
         step = latest_step(ckpt_dir)
         if step is not None:
-            state, _ = restore_checkpoint(ckpt_dir, state, step=step)
+            # template values are overwritten by the restore — skip the
+            # gamma_init='polynomial' pre-fit (a 6000-step device scan)
+            template = trainer.init_state(init_key, example,
+                                          skip_gamma_fit=True)
+            state, _ = restore_checkpoint(ckpt_dir, template, step=step)
             start_epoch = step
+    if state is None:
+        state = trainer.init_state(init_key, example)
 
     if mesh is None and len(cfg.mesh_shape) > 0:
         from diffusion_model_tpu.parallel import make_mesh
@@ -212,7 +218,8 @@ def load_trained(run_dir: str, cfg: Config, example: GraphBatch):
     """Restore the latest checkpoint of a run (generate_only/evaluate_only
     path, ref main.py:236-238)."""
     trainer = Trainer(cfg)
-    template = trainer.init_state(jax.random.key(0), example)
+    template = trainer.init_state(jax.random.key(0), example,
+                                  skip_gamma_fit=True)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     state, _ = restore_checkpoint(ckpt_dir, template)
     return trainer, state

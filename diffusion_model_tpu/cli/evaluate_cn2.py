@@ -13,11 +13,12 @@ import argparse
 import numpy as np
 
 from diffusion_model_tpu.cli.common import load_results
-from diffusion_model_tpu.evals import (
-    aligned_group_means,
-    r2score,
+from diffusion_model_tpu.evals import r2score
+from diffusion_model_tpu.evals.cn2 import (
+    _cn2_sample_geometry,
+    conditional_angle_parity,
+    conditional_bond_parity,
 )
-from diffusion_model_tpu.evals.cn2 import _cn2_sample_geometry
 from diffusion_model_tpu.utils.logging import RunLogger, load_run_config
 
 
@@ -36,13 +37,11 @@ def main(argv=None):
     logger = RunLogger(args.run_dir)
     g = cfg.gen_num_per_spectrum
 
-    # shell-agnostic CN2 readout: originals from rows 1,2, generated Si
-    # located by species argmax (evals/cn2._cn2_sample_geometry — the
-    # fixed-row readout measured exO-Si-O geometry on 2-shell data)
-    geo = _cn2_sample_geometry(results)
-    avg_theta, avg_phi = aligned_group_means(
-        geo["angle_o"], geo["angle_g"], g, invalid=geo["invalid"]
-    )
+    # shell-agnostic CN2 readout (evals/cn2: originals from rows 1,2,
+    # generated Si located by species argmax); the parity helpers own the
+    # group-mean plumbing, the geometry is re-read only for the raw
+    # bond scatter below
+    avg_theta, avg_phi = conditional_angle_parity(results, g)
     n = len(avg_theta)
     r2 = r2score(avg_theta, avg_phi)
 
@@ -68,12 +67,12 @@ def main(argv=None):
     logger.log_figure("cn2_angle_scatter", fig)
     plt.close(fig)
 
+    avg_bo, avg_bg = conditional_bond_parity(results, g)
+    r2_bond = r2score(avg_bo, avg_bg)
+    geo = _cn2_sample_geometry(results)
     bonds_orig = np.concatenate([geo["bond1_o"], geo["bond2_o"]])
     bonds_gen = np.concatenate([geo["bond1_g"], geo["bond2_g"]])
     rejected2 = np.concatenate([geo["invalid"], geo["invalid"]])
-    avg_bo, avg_bg = aligned_group_means(bonds_orig, bonds_gen, g,
-                                         invalid=rejected2)
-    r2_bond = r2score(avg_bo, avg_bg)
     fig, ax = plt.subplots(figsize=(7, 7))
     bonds_orig = np.where(rejected2, np.nan, bonds_orig)
     bonds_gen = np.where(rejected2, np.nan, bonds_gen)

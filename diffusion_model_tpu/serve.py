@@ -61,20 +61,28 @@ def _sampler_fn(cfg: Config, denoise_fn: Callable, schedule,
             exo=exo,
             mask=mask,
         )
-        res = sample(denoise_fn, schedule, cfg, jax.random.PRNGKey(seed),
-                     cond)
+        base = jax.random.PRNGKey(seed)
         if not retry_rounds:
+            res = sample(denoise_fn, schedule, cfg, base, cond)
             return res.pos, res.species, res.accepted
 
+        # ONE trace of the reverse-diffusion program: round 0 runs inside
+        # the while_loop too (key selected between the base key and the
+        # fold_in retry stream), instead of tracing `sample` once outside
+        # and again in the body — which doubled the exported HLO and the
+        # 30-250 s remote compile. Round 0 stays bit-identical to the
+        # retry-free program: same base key, and the (i == 0) take keeps
+        # every row of the first draw (rejected rows then carry their
+        # first-draw values, as before).
         def cond_fn(carry):
             i, pos, sp, acc = carry
-            return (i < retry_rounds) & ~jnp.all(acc)
+            return (i < retry_rounds + 1) & ~jnp.all(acc)
 
         def body_fn(carry):
             i, pos, sp, acc = carry
-            sub = jax.random.fold_in(jax.random.PRNGKey(seed), i + 1)
-            r = sample(denoise_fn, schedule, cfg, sub, cond)
-            take = ((~acc) & r.accepted)[:, None, None]
+            key = jnp.where(i == 0, base, jax.random.fold_in(base, i))
+            r = sample(denoise_fn, schedule, cfg, key, cond)
+            take = (((~acc) & r.accepted) | (i == 0))[:, None, None]
             return (
                 i + 1,
                 jnp.where(take, r.pos, pos),
@@ -84,7 +92,12 @@ def _sampler_fn(cfg: Config, denoise_fn: Callable, schedule,
 
         _, pos, sp, acc = jax.lax.while_loop(
             cond_fn, body_fn,
-            (jnp.zeros((), jnp.int32), res.pos, res.species, res.accepted),
+            (
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((b, n, 3), spectrum.dtype),
+                jnp.zeros_like(species),
+                jnp.zeros((b,), bool),
+            ),
         )
         return pos, sp, acc
 

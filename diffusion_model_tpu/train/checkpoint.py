@@ -80,9 +80,14 @@ def _rescale_gamma_endpoints(state, saved_config: dict):
     ``gamma_endpoint_scale`` stamp => raw endpoints, scale 1.0) or under a
     different scale hold ``gamma_0``/``gamma_1`` arrays whose semantic
     value is ``stored * stored_scale``; rescale them so
-    ``new_raw * current_scale`` preserves the semantic schedule. Optimizer
-    moments for the two scalars are left as-is (Adam re-adapts within a few
-    steps; exact-resume is only guaranteed same-schema anyway).
+    ``new_raw * current_scale`` preserves the semantic schedule.
+
+    The optimizer state holds parameter COPIES that evaluation reads back
+    out — schedule-free's ``z`` iterate (``eval_params`` interpolates y/z)
+    and the EMA average — which must be rescaled identically or the
+    rescue is defeated for the default optimizer. Adam first/second
+    moments transform as ratio / ratio**2 (linear / quadratic in the
+    parameter), kept exact so resumed training continues smoothly.
     """
     stored_scale = float(saved_config.get("gamma_endpoint_scale", 1.0))
     current_scale = float(GammaNetwork.endpoint_scale)
@@ -97,4 +102,21 @@ def _rescale_gamma_endpoints(state, saved_config: dict):
         gamma["params"][name] = gamma["params"][name] * ratio
     new_params = dict(params)
     new_params["gamma"] = gamma
-    return state.replace(params=new_params)
+
+    import jax.tree_util as jtu
+
+    def fix(path, leaf):
+        keys = [getattr(k, "name", None) or getattr(k, "key", None)
+                for k in path]
+        if "gamma" not in keys or keys[-1] not in ("gamma_0", "gamma_1"):
+            return leaf
+        if "z" in keys or "ema" in keys:   # parameter copies
+            return leaf * ratio
+        if "mu" in keys:                   # first moment: linear
+            return leaf * ratio
+        if "nu" in keys:                   # second moment: quadratic
+            return leaf * ratio**2
+        return leaf
+
+    new_opt_state = jtu.tree_map_with_path(fix, state.opt_state)
+    return state.replace(params=new_params, opt_state=new_opt_state)

@@ -40,6 +40,16 @@ def diffuse_batch(schedule: Schedule, cfg: Config, key, batch: GraphBatch):
         # opt-in fraction of each batch redraws t uniformly from
         # [t_bias_lo, t_bias_hi]. Default 0.0 = the reference's plain
         # uniform draw (ref parts/train_per_iretation.py:43,56).
+        if not 1 <= cfg.t_bias_lo <= cfg.t_bias_hi \
+                <= cfg.num_diffusion_timestep:
+            # out-of-range band values would be silently clamped to
+            # alphas[T] by gather clipping while t_norm = t/T > 1 reaches
+            # the denoiser — inconsistent (noise level, time) pairs
+            raise ValueError(
+                f"t_bias band [{cfg.t_bias_lo}, {cfg.t_bias_hi}] must lie "
+                f"within [1, num_diffusion_timestep="
+                f"{cfg.num_diffusion_timestep}]"
+            )
         k_sel, k_band = jax.random.split(k_t)
         t_band = jax.random.randint(
             k_band, (b,), cfg.t_bias_lo, cfg.t_bias_hi + 1

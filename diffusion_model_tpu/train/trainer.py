@@ -171,7 +171,13 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- init -----------------------------------------------------------
-    def init_state(self, key, example: GraphBatch) -> TrainState:
+    def init_state(self, key, example: GraphBatch,
+                   skip_gamma_fit: bool = False) -> TrainState:
+        """Fresh TrainState. ``skip_gamma_fit=True`` skips the 6000-step
+        gamma_init='polynomial' pre-fit (same tree structure, plain init
+        values) — for restore TEMPLATES whose values are immediately
+        overwritten by a checkpoint; running the fit there wastes a remote
+        compile + scan on every generate/evaluate invocation."""
         b, n = example.mask.shape
         a = self.cfg.atom_type_size
         k1, k2 = jax.random.split(key)
@@ -188,7 +194,7 @@ class Trainer:
             )
         }
         if self.gamma is not None:
-            if self.cfg.gamma_init == "polynomial":
+            if self.cfg.gamma_init == "polynomial" and not skip_gamma_fit:
                 from diffusion_model_tpu.nn.gamma import (
                     fit_gamma_to_schedule,
                 )
@@ -387,6 +393,15 @@ class Trainer:
             raise NotImplementedError(
                 "ring training currently supports the predefined schedule"
             )
+        if self.cfg.cond_dropout_prob > 0 or self.cfg.kabsch_loss:
+            # the ring loss below is the plain eps loss; silently accepting
+            # these configs would train no unconditional score (CFG) /
+            # skip the coordinate loss without any error
+            raise NotImplementedError(
+                "ring training supports the plain eps loss only "
+                "(cond_dropout_prob and kabsch_loss are not routed "
+                "through the ring)"
+            )
         from diffusion_model_tpu.parallel.ring import ring_denoise_apply
 
         cfg = self.cfg
@@ -394,6 +409,14 @@ class Trainer:
         apply_fn = ring_denoise_apply(cfg, mesh, axis)
 
         def loss_fn(params, key, batch: GraphBatch):
+            if batch.mask.shape[0] != 1:
+                # one ring = one graph; with B > 1 the single ring
+                # prediction would broadcast against every graph's noise
+                # targets in epsilon_loss — silently wrong gradients
+                raise ValueError(
+                    "ring training takes exactly one node-sharded graph "
+                    f"per step (got batch_size={batch.mask.shape[0]})"
+                )
             # same stream layout as _loss so ring and dense train steps
             # draw identical noise from the same key (parity-testable)
             k_diff, _, _ = jax.random.split(key, 3)

@@ -100,8 +100,10 @@ def main():
     if os.path.exists(override):
         with open(override) as f:
             args.epochs = int(f.read().strip())
-        print(f"epochs overridden to {args.epochs} via {override}",
-              flush=True)
+        os.unlink(override)  # one-shot: a stale file must not silently
+        # trim every future run's budget
+        print(f"epochs overridden to {args.epochs} via {override} "
+              f"(consumed)", flush=True)
 
     from diffusion_model_tpu import api
     from diffusion_model_tpu.config import Config

@@ -148,6 +148,40 @@ class TestRing:
         assert np.isfinite(float(m2["loss"]))
         assert int(ring_state2.step) == 2
 
+    def test_ring_train_step_guards(self, rng):
+        """Unsupported loss configs must be rejected at construction
+        (silently dropping cond dropout / kabsch would train the wrong
+        objective), and a B>1 batch must be rejected at trace time (the
+        single ring prediction would broadcast against every graph's
+        noise targets)."""
+        from diffusion_model_tpu.train import Trainer
+
+        base = dict(
+            n_max=16, L=2, m_hidden_size=32, h_hidden_size=32,
+            x_hidden_size=32, m_size=16, spectrum_size=16,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            batch_size=1, optimizer="Adam", lr=1e-3,
+        )
+        mesh = make_mesh()
+        with pytest.raises(NotImplementedError, match="plain eps loss"):
+            Trainer(Config(**base, cond_dropout_prob=0.1)) \
+                .ring_train_step_fn(mesh)
+        with pytest.raises(NotImplementedError, match="plain eps loss"):
+            Trainer(Config(**base, kabsch_loss=True)) \
+                .ring_train_step_fn(mesh)
+
+        cfg = Config(**base)
+        trainer = Trainer(cfg)
+        cells = [amorphous_cell(seed=s, num_atoms=16,
+                                spectrum_size=cfg.spectrum_size)
+                 for s in (1, 2)]
+        batch2 = collate(cells, cfg.n_max)
+        state = trainer.init_state(jax.random.key(0),
+                                   collate(cells[:1], cfg.n_max))
+        step = trainer.ring_train_step_fn(mesh)
+        with pytest.raises(ValueError, match="one node-sharded graph"):
+            step(state, jax.random.key(1), batch2)
+
     def test_indivisible_raises(self, rng):
         cfg = Config(n_max=30, L=1, m_hidden_size=8, h_hidden_size=8,
                      x_hidden_size=8, m_size=4, spectrum_size=8,

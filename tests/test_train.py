@@ -60,6 +60,17 @@ class TestLossMechanics:
                 np.asarray(eps_pos[g])[m].mean(0), 0, atol=1e-5
             )
 
+    def test_t_bias_band_validated_against_T(self):
+        """A band outside [1, T] must raise instead of silently clamping
+        the noise level while feeding t/T > 1 to the denoiser."""
+        cfg = tiny_cfg(t_bias_frac=0.5)  # defaults lo=100, hi=600; T=50
+        batches = make_batches(cfg, num=4)
+        s = predefined_schedule(cfg)
+        with pytest.raises(ValueError, match="t_bias band"):
+            diffuse_batch(s, cfg, jax.random.key(0), batches[0])
+        ok = tiny_cfg(t_bias_frac=0.5, t_bias_lo=10, t_bias_hi=40)
+        diffuse_batch(s, ok, jax.random.key(0), batches[0])
+
     def test_t_bias_band_sampling(self):
         """config.t_bias_frac: opt-in mid-band timestep oversampling.
 
@@ -324,6 +335,76 @@ class TestCheckpoint:
         pos_only = TrainState(params={"denoiser": {}}, opt_state=None,
                               step=jnp.zeros((), jnp.int32))
         assert _rescale_gamma_endpoints(pos_only, {}) is pos_only
+
+    def test_gamma_endpoint_rescale_reaches_opt_state(self):
+        """The rescale must also fix the parameter COPIES evaluation reads
+        out of the optimizer state: schedule-free's z iterate (eval_params
+        interpolates y/z — a raw z defeats the rescue under the DEFAULT
+        optimizer) and the EMA average; Adam moments transform linearly
+        (mu) / quadratically (nu)."""
+        import jax.numpy as jnp
+
+        from diffusion_model_tpu.nn.gamma import GammaNetwork
+        from diffusion_model_tpu.train.checkpoint import (
+            _rescale_gamma_endpoints,
+        )
+        from diffusion_model_tpu.train.trainer import (
+            TrainState,
+            make_optimizer,
+        )
+
+        params = {
+            "denoiser": {"w": jnp.ones(2)},
+            "gamma": {"params": {
+                "gamma_0": jnp.asarray([-5.0]),
+                "gamma_1": jnp.asarray([10.0]),
+            }},
+        }
+        scale = float(GammaNetwork.endpoint_scale)
+
+        # schedule-free: z copy rescales like the params
+        cfg = tiny_cfg(optimizer="RAdamScheduleFree")
+        opt = make_optimizer(cfg)
+        st = opt.init(params)
+        # make z distinguishable from fresh-init params
+        state = TrainState(params=params, opt_state=st,
+                           step=jnp.zeros((), jnp.int32))
+        out = _rescale_gamma_endpoints(state, {})
+        z = out.opt_state[1].z["gamma"]["params"]
+        assert float(z["gamma_0"][0]) == pytest.approx(-5.0 / scale)
+        assert float(z["gamma_1"][0]) == pytest.approx(10.0 / scale)
+        np.testing.assert_array_equal(
+            np.asarray(out.opt_state[1].z["denoiser"]["w"]), np.ones(2))
+        # eval_params now sees consistent y and z
+        ev = out.eval_params(cfg)
+        assert float(ev["gamma"]["params"]["gamma_0"][0]) == pytest.approx(
+            -5.0 / scale)
+
+        # EMA: the average rescales; Adam mu/nu scale ratio / ratio^2
+        cfg_e = tiny_cfg(optimizer="Adam", ema_decay=0.99)
+        opt_e = make_optimizer(cfg_e)
+        st_e = opt_e.init(params)
+        # seed non-zero moments so the scaling is observable
+        import jax
+
+        st_e = jax.tree.map(lambda a: a + 1.0 if a.ndim else a, st_e)
+        state_e = TrainState(params=params, opt_state=st_e,
+                             step=jnp.zeros((), jnp.int32))
+        out_e = _rescale_gamma_endpoints(state_e, {})
+        ema = out_e.opt_state[-1].ema["gamma"]["params"]
+        assert float(ema["gamma_0"][0]) == pytest.approx(-4.0 / scale)
+        import jax.tree_util as jtu
+
+        def find(state_tree, moment):
+            for path, leaf in jtu.tree_leaves_with_path(state_tree):
+                keys = [getattr(k, "name", None) or getattr(k, "key", None)
+                        for k in path]
+                if moment in keys and "gamma_0" in keys:
+                    return float(leaf.reshape(-1)[0])
+            raise AssertionError(f"{moment} gamma_0 leaf not found")
+
+        assert find(out_e.opt_state, "mu") == pytest.approx(1.0 / scale)
+        assert find(out_e.opt_state, "nu") == pytest.approx(1.0 / scale**2)
 
 
 class TestEarlyStopping:
