@@ -182,6 +182,14 @@ class Config:
     # effective size lr*max_grad_norm ~ 0.02 re-ignites ~0.2*K-per-layer
     # growth. The residual form is the standard conditioning fix; default
     # False preserves exact reference parity.
+    virtual_node: bool = False
+    # per-layer global-context channel (virtual node at the masked CoM,
+    # pooled-feature message exchange + radial equivariant coordinate
+    # update; see nn/egnn.py EGCL.virtual_node). The mid-range-order fix
+    # for kNN topologies where the receptive field is ~L local hops.
+    # Zero-init output heads: enabling it leaves the untrained net
+    # bit-identical to the plain one. Off = reference-exact; unsupported
+    # on the Pallas fast path and the ring path (both reject it).
     global_radius_feature: bool = False
     # append log1p(|x - CoM|) to every node's input features (an E(3)-
     # invariant global-envelope signal). With kNN edges a node's receptive

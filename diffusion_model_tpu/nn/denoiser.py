@@ -103,8 +103,9 @@ class DiffusionDenoiser(nn.Module):
             zero_init_x=cfg.zero_init_x,
             h_init_scale=cfg.h_init_scale,
             h_residual=cfg.h_residual,
+            virtual_node=cfg.virtual_node,
             name="egnn",
-        )(h_in, pos_t, edges)
+        )(h_in, pos_t, edges, node_mask=node_mask)
 
         mask3 = node_mask[..., None].astype(pos_t.dtype)
         eps_x = remove_mean((x_out - pos_t) * mask3, node_mask)

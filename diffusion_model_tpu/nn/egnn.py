@@ -128,6 +128,22 @@ class EGCL(nn.Module):
     zero_init_x: bool = True
     h_init_scale: float = 1.0
     h_residual: bool = False
+    virtual_node: bool = False
+    # ``virtual_node`` adds a global context channel per layer (retrieved
+    # technique: "Fast and Distributed Equivariant GNNs by Virtual Node
+    # Learning", PAPERS.md): every node exchanges one extra message with a
+    # virtual node sitting at the masked CoM whose feature is a pooled
+    # transform of all node features. With kNN edges a node's receptive
+    # field is ~L hops of local neighbourhoods — the score cannot
+    # coordinate the GLOBAL density envelope / mid-range order of a large
+    # cell; the virtual node restores O(1)-hop global communication at
+    # O(N) cost. E(3)-correct: the h channel uses only invariants
+    # (features, |x_i - x_v|^2), the coordinate update moves nodes along
+    # (x_i - x_v) — equivariant because x_v is the masked CoM. Both output
+    # heads are ZERO-initialised so enabling the flag leaves the untrained
+    # network bit-identical to the plain one (globally-coherent features
+    # otherwise re-ignite the ~K-per-layer init blowup, see
+    # radius_feature_gate in nn/denoiser.py). Requires ``node_mask``.
     # ``h_residual`` switches the node update to ``h + mlp_h(...)`` when
     # input/output widths match (config.h_residual — conditioning fix for
     # the reference's non-residual update; False = exact reference form).
@@ -150,7 +166,7 @@ class EGCL(nn.Module):
     # the standard diffusion-model fix and changes nothing once trained.
 
     @nn.compact
-    def __call__(self, h, x, edges):
+    def __call__(self, h, x, edges, node_mask=None):
         """Apply the layer.
 
         Args:
@@ -161,6 +177,8 @@ class EGCL(nn.Module):
             ``(idx [B, N, K] int32, edge_mask [B, N, K])`` of fixed-degree
             neighbour lists — the padded large-cell topology (SURVEY.md §7:
             N^2 edges explode past ~1024 atoms).
+          node_mask: ``[B, N]`` real-node mask; required (and used) only by
+            the ``virtual_node`` channel.
 
         Returns:
           (h', x') with the same shapes; padded nodes pass through unchanged
@@ -188,11 +206,59 @@ class EGCL(nn.Module):
         mods = (m_first, m_second, att, x_first, x_second, x_last,
                 h_dense0, h_dense1)
 
-        if isinstance(edges, tuple):
-            return self._sparse_call(mods, h, x, *edges)
-        return self._dense_call(mods, h, x, edges)
+        vn = None
+        if self.virtual_node:
+            if node_mask is None:
+                raise ValueError("virtual_node=True requires node_mask")
+            vn = self._virtual_channel(h, x, node_mask)
 
-    def _dense_call(self, mods, h, x, pair_mask):
+        if isinstance(edges, tuple):
+            return self._sparse_call(mods, h, x, *edges, vn=vn)
+        return self._dense_call(mods, h, x, edges, vn=vn)
+
+    def _virtual_channel(self, h, x, node_mask):
+        """Global-context messages through a virtual node at the masked CoM.
+
+        Returns ``(vn_msg [B,N,m_out], x_vn [B,N,3] float32)`` — the h-sum
+        contribution (added to the neighbour message sum, so it flows
+        through ``mlp_h`` without changing its width/params) and the
+        equivariant radial coordinate update. Both heads are zero-init:
+        exact no-op at initialisation.
+        """
+        dt = self.compute_dtype
+        m3 = node_mask[..., None].astype(jnp.float32)
+        h_c = (h * node_mask[..., None].astype(h.dtype)).astype(dt)
+        x_f = x.astype(jnp.float32)
+        count = jnp.maximum(jnp.sum(m3, axis=1, keepdims=True), 1.0)
+        x_v = jnp.sum(x_f * m3, axis=1, keepdims=True) / count  # [B,1,3]
+        diff = (x_f - x_v) * m3                                  # [B,N,3]
+        r2_f = jnp.sum(diff * diff, axis=-1, keepdims=True)      # [B,N,1]
+        r2 = r2_f.astype(dt)
+
+        # gather: nodes -> virtual feature (masked mean of a transform)
+        u = nn.silu(nn.Dense(self.m_hidden, dtype=dt, name="vnode_in")(
+            jnp.concatenate([h_c, r2], axis=-1)))
+        u = u * m3.astype(dt)
+        pooled = jnp.sum(u, axis=1, keepdims=True) / count.astype(dt)
+        h_v = nn.silu(nn.Dense(self.m_out, dtype=dt, name="vnode_pool")(
+            pooled))                                             # [B,1,m_out]
+
+        # scatter: virtual -> per-node message and radial coordinate update
+        cat = jnp.concatenate(
+            [h_c, jnp.broadcast_to(h_v, (*h_c.shape[:2], h_v.shape[-1])),
+             r2], axis=-1)
+        vn_msg = nn.Dense(
+            self.m_out, dtype=dt, name="vnode_out",
+            kernel_init=nn.initializers.zeros,
+        )(cat) * m3.astype(dt)
+        s_v = _VectorHead(zero_init=True, name="vnode_x_head")(
+            nn.silu(nn.Dense(self.x_hidden, dtype=dt, name="vnode_x")(cat))
+        )
+        norm = jnp.sqrt(jnp.where(m3 > 0, jnp.maximum(r2_f, 1e-12), 1.0))
+        x_vn = diff * (s_v.astype(jnp.float32) / (norm + 1.0)) * m3
+        return vn_msg, x_vn
+
+    def _dense_call(self, mods, h, x, pair_mask, vn=None):
         (m_first, m_second, att, x_first, x_second, x_last,
          h_dense0, h_dense1) = mods
         dt = self.compute_dtype
@@ -215,6 +281,8 @@ class EGCL(nn.Module):
         m = m * nn.sigmoid(att(m))
         m = m * pm
         m_sum = jnp.sum(m, axis=2)                        # [B,N,m_out]
+        if vn is not None:
+            m_sum = m_sum + vn[0].astype(m_sum.dtype)
         h_new = h_dense1(
             nn.silu(h_dense0(jnp.concatenate([h_c, m_sum], axis=-1)))
         )
@@ -243,10 +311,12 @@ class EGCL(nn.Module):
         w_sum = jnp.sum(w, axis=2)                         # [B,N,1]
         x_new = x_f + x_f * w_sum - jnp.einsum(
             "bij,bjc->bic", w[..., 0], x_f)
+        if vn is not None:
+            x_new = x_new + vn[1]
 
         return h_new.astype(h.dtype), x_new.astype(x.dtype)
 
-    def _sparse_call(self, mods, h, x, idx, edge_mask):
+    def _sparse_call(self, mods, h, x, idx, edge_mask, vn=None):
         """Fixed-degree neighbour-list message passing: identical math to
         the dense path over the K gathered sources per node. The first-layer
         node-projection trick applies unchanged — the j-projections are
@@ -285,6 +355,8 @@ class EGCL(nn.Module):
         m = nn.silu(m_second(nn.silu(pre_m)))
         m = m * nn.sigmoid(att(m)) * em
         m_sum = jnp.sum(m, axis=2)
+        if vn is not None:
+            m_sum = m_sum + vn[0].astype(m_sum.dtype)
         h_new = h_dense1(
             nn.silu(h_dense0(jnp.concatenate([h_c, m_sum], axis=-1)))
         )
@@ -295,6 +367,8 @@ class EGCL(nn.Module):
         norm = jnp.sqrt(jnp.where(em_f > 0, jnp.maximum(d2, 1e-12), 1.0))
         upd = diff * (s.astype(jnp.float32) / (norm + 1.0)) * em_f
         x_new = x_f + jnp.sum(upd, axis=2)
+        if vn is not None:
+            x_new = x_new + vn[1]
         return h_new.astype(h.dtype), x_new.astype(x.dtype)
 
 
@@ -312,9 +386,10 @@ class EquivariantGNN(nn.Module):
     zero_init_x: bool = True
     h_init_scale: float = 1.0
     h_residual: bool = False
+    virtual_node: bool = False
 
     @nn.compact
-    def __call__(self, h, x, edges):
+    def __call__(self, h, x, edges, node_mask=None):
         for l in range(self.L):
             h, x = EGCL(
                 m_hidden=self.m_hidden,
@@ -327,6 +402,7 @@ class EquivariantGNN(nn.Module):
                 zero_init_x=self.zero_init_x,
                 h_init_scale=self.h_init_scale,
                 h_residual=self.h_residual,
+                virtual_node=self.virtual_node,
                 name=f"egcl_{l}",
-            )(h, x, edges)
+            )(h, x, edges, node_mask=node_mask)
         return h, x

@@ -50,6 +50,11 @@ def fast_denoise_fn(cfg: Config, denoiser_params,
             "global_radius_feature is not wired into the Pallas fast path"
             " — use the XLA path (use_pallas=False)"
         )
+    if cfg.virtual_node:
+        raise NotImplementedError(
+            "virtual_node is not wired into the Pallas fast path — use "
+            "the XLA path (use_pallas=False)"
+        )
     p = denoiser_params["params"]
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size

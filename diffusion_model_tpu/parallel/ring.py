@@ -149,6 +149,11 @@ def ring_denoise_apply(cfg: Config, mesh: Mesh, axis: str = "data"):
             "global_radius_feature is not wired into the ring path — the "
             "masked-CoM radius needs a psum prologue; use the XLA path"
         )
+    if cfg.virtual_node:
+        raise NotImplementedError(
+            "virtual_node is not wired into the ring path — the pooled "
+            "global feature needs a psum per layer; use the XLA path"
+        )
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size
     ndev = mesh.devices.size

@@ -54,6 +54,11 @@ def main():
                         "(docs/ROADMAP.md), chunk them small")
     p.add_argument("--sample_steps", type=int, default=0,
                    help="strided sampling step count (0 = full chain)")
+    p.add_argument("--virtual_node", action="store_true",
+                   help="per-layer global-context channel "
+                        "(config.virtual_node) — O(1)-hop global "
+                        "communication for kNN topologies; zero-init, "
+                        "exact no-op at initialisation")
     p.add_argument("--global_radius", action="store_true",
                    help="append the |x - CoM| global-envelope feature "
                         "(config.global_radius_feature) — the mid-range-"
@@ -136,6 +141,7 @@ def main():
         optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
         gen_num_per_spectrum=2,
         global_radius_feature=args.global_radius,
+        virtual_node=args.virtual_node,
         h_init_scale=args.h_init_scale,
         h_residual=args.h_residual,
         t_bias_frac=args.t_bias_frac,
@@ -219,7 +225,8 @@ def main():
                      f"_lr{args.lr:g}_clip{args.max_grad_norm:g}"
                      + ("_hres" if args.h_residual else "")
                      + (f"_tb{args.t_bias_frac:g}" if args.t_bias_frac else "")
-                     + ("_gr" if args.global_radius else ""),
+                     + ("_gr" if args.global_radius else "")
+                     + ("_vn" if args.virtual_node else ""),
            "sizes": results}
     with open(os.path.join(args.out_dir, "size_gen_summary.json"),
               "w") as f:

@@ -445,3 +445,134 @@ class TestHResidual:
         m_plain = mag(False)
         assert 0.5 < m_res < 5.0   # ~ input scale (0.8): signal preserved
         assert m_plain < 0.5       # input replaced by the damped mlp output
+
+
+class TestVirtualNode:
+    """config.virtual_node: per-layer global-context channel (nn/egnn.py).
+
+    Zero-init output heads make enabling the flag an EXACT no-op at
+    initialisation; with live heads the channel must stay E(3)-consistent
+    (h invariant, x equivariant — the coordinate update runs along
+    x_i - CoM), keep padded nodes inert, and agree between the dense and
+    sparse paths (the channel itself is topology-independent).
+    """
+
+    def _setup(self, rng, n=7, pad_last=True):
+        h = jnp.asarray(rng.normal(size=(1, n, 8)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, n, 3)), jnp.float32)
+        mask = np.ones((1, n), np.float32)
+        if pad_last:
+            mask[0, -1] = 0
+        mask = jnp.asarray(mask)
+        pm = dense_pair_mask(mask)
+        kw = dict(m_hidden=32, m_out=16, x_hidden=32, h_hidden=32,
+                  h_out=8, zero_init_x=False)
+        return h, x, mask, pm, kw
+
+    def _live_params(self, layer, h, x, pm, mask, rng):
+        """Init then replace the zero-init vnode heads with random values
+        so the channel is active."""
+        params = layer.init(jax.random.key(0), h, x, pm, node_mask=mask)
+        p = params["params"]
+        for name in ("vnode_out", "vnode_x_head"):
+            k = p[name]["kernel"]
+            p[name]["kernel"] = jnp.asarray(
+                rng.normal(size=k.shape) * 0.3, k.dtype)
+        return params
+
+    def test_exact_noop_at_init(self, rng):
+        h, x, mask, pm, kw = self._setup(rng)
+        plain = EGCL(virtual_node=False, **kw)
+        vn = EGCL(virtual_node=True, **kw)
+        p_plain = plain.init(jax.random.key(0), h, x, pm)
+        p_vn = vn.init(jax.random.key(0), h, x, pm, node_mask=mask)
+        h_p, x_p = plain.apply(p_plain, h, x, pm)
+        h_v, x_v = vn.apply(p_vn, h, x, pm, node_mask=mask)
+        np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_v))
+        np.testing.assert_array_equal(np.asarray(x_p), np.asarray(x_v))
+
+    def test_requires_node_mask(self, rng):
+        h, x, mask, pm, kw = self._setup(rng)
+        vn = EGCL(virtual_node=True, **kw)
+        with pytest.raises(ValueError, match="node_mask"):
+            vn.init(jax.random.key(0), h, x, pm)
+
+    def test_live_channel_changes_output_equivariantly(self, rng):
+        h, x, mask, pm, kw = self._setup(rng)
+        vn = EGCL(virtual_node=True, **kw)
+        params = self._live_params(vn, h, x, pm, mask, rng)
+        h1, x1 = vn.apply(params, h, x, pm, node_mask=mask)
+        # live heads actually contribute
+        plain = EGCL(virtual_node=False, **kw)
+        p_plain = plain.init(jax.random.key(0), h, x, pm)
+        h_p, x_p = plain.apply(p_plain, h, x, pm)
+        assert not np.allclose(np.asarray(h1), np.asarray(h_p))
+        assert not np.allclose(np.asarray(x1), np.asarray(x_p))
+        # E(3): h invariant, x equivariant under rotation + translation
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        q = jnp.asarray(q, jnp.float32)
+        t = jnp.asarray([0.5, -1.0, 2.0], jnp.float32)
+        h2, x2 = vn.apply(params, h, x @ q.T + t, pm, node_mask=mask)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(x1) @ q.T + t, np.asarray(x2),
+                                   rtol=5e-4, atol=5e-4)
+        # padded node inert on x and does not influence real nodes: zero
+        # out the padded row's inputs and nothing real changes
+        h_z = h.at[0, -1].set(100.0)
+        x_z = x.at[0, -1].set(50.0)
+        h3, x3 = vn.apply(params, h_z, x_z, pm, node_mask=mask)
+        np.testing.assert_allclose(np.asarray(h1)[0, :-1],
+                                   np.asarray(h3)[0, :-1],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x1)[0, :-1],
+                                   np.asarray(x3)[0, :-1],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_dense_sparse_parity(self, rng):
+        from diffusion_model_tpu.ops.edges import knn_edges
+
+        h, x, mask, pm, kw = self._setup(rng)
+        vn = EGCL(virtual_node=True, **kw)
+        params = self._live_params(vn, h, x, pm, mask, rng)
+        idx, em = knn_edges(x, mask, 6)  # K = n-1: same edge set as dense
+        h_d, x_d = vn.apply(params, h, x, pm, node_mask=mask)
+        h_s, x_s = vn.apply(params, h, x, (idx, em), node_mask=mask)
+        np.testing.assert_allclose(np.asarray(h_d), np.asarray(h_s),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_s),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_trains_and_samples_with_knn(self, rng):
+        """End-to-end plumbing: a kNN virtual-node config trains a step
+        and samples finitely through api-level machinery."""
+        from diffusion_model_tpu.data.batch import collate
+        from diffusion_model_tpu.data.synthetic import amorphous_cell
+        from diffusion_model_tpu.diffusion import sample
+        from diffusion_model_tpu.train import Trainer
+
+        cfg = Config(
+            n_max=8, L=2, m_hidden_size=32, h_hidden_size=32,
+            x_hidden_size=32, m_size=16, spectrum_size=16,
+            compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+            batch_size=2, optimizer="Adam", lr=1e-3, neighbor_k=4,
+            num_diffusion_timestep=8, noise_precision=0.05,
+            virtual_node=True,
+        )
+        cells = [amorphous_cell(seed=s, num_atoms=8,
+                                spectrum_size=cfg.spectrum_size)
+                 for s in (1, 2)]
+        batch = collate(cells, cfg.n_max)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), batch)
+        assert "vnode_out" in state.params["denoiser"]["params"]["egnn"][
+            "egcl_0"]
+        state, m = trainer.train_step(state, jax.random.key(1), batch)
+        assert np.isfinite(float(m["loss"]))
+        res = sample(trainer.denoise_fn(state.params),
+                     trainer.schedule_for(state.params), cfg,
+                     jax.random.key(2), batch)
+        assert bool(jnp.all(res.finite))
