@@ -92,6 +92,45 @@ class _EdgeFirstLayer(nn.Module):
         )
 
 
+class _GlobalFirstLayer(nn.Module):
+    """Dense over ``[h | h_v | r2]`` with the graph-constant ``h_v`` block
+    projected once per graph.
+
+    Parameter layout is the fused ``kernel [H + V + 1, F]`` / ``bias [F]``
+    a plain Dense over the concatenation would have (same init
+    distribution, same RNG path — swapping implementations preserves
+    checkpoints bit-for-bit); at apply time the ``h_v`` rows multiply the
+    ``[B, 1, V]`` vector and broadcast-add instead of re-multiplying the
+    identical vector for all N nodes.
+    """
+
+    features: int
+    hdim: int
+    vdim: int
+    compute_dtype: jnp.dtype = jnp.float32
+    zero_init: bool = False
+
+    def setup(self):
+        init = nn.initializers.zeros if self.zero_init else _dense_init
+        self.kernel = self.param(
+            "kernel", init, (self.hdim + self.vdim + 1, self.features)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+
+    def __call__(self, h, h_v, r2):
+        """h: [B,N,H]; h_v: [B,1,V]; r2: [B,N,1] -> [B,N,features]."""
+        dt = self.compute_dtype
+        k = self.kernel.astype(dt)
+        return (
+            h.astype(dt) @ k[: self.hdim]
+            + h_v.astype(dt) @ k[self.hdim : self.hdim + self.vdim]
+            + r2.astype(dt) * k[self.hdim + self.vdim]
+            + self.bias.astype(dt)
+        )
+
+
 class _VectorHead(nn.Module):
     """Dense(features=1) evaluated as multiply-reduce on the VPU.
 
@@ -225,12 +264,13 @@ class EGCL(nn.Module):
         equivariant radial coordinate update. Both heads are zero-init:
         exact no-op at initialisation.
         """
+        from diffusion_model_tpu.ops.com import masked_mean
+
         dt = self.compute_dtype
         m3 = node_mask[..., None].astype(jnp.float32)
         h_c = (h * node_mask[..., None].astype(h.dtype)).astype(dt)
         x_f = x.astype(jnp.float32)
-        count = jnp.maximum(jnp.sum(m3, axis=1, keepdims=True), 1.0)
-        x_v = jnp.sum(x_f * m3, axis=1, keepdims=True) / count  # [B,1,3]
+        x_v = masked_mean(x_f, node_mask)                        # [B,1,3]
         diff = (x_f - x_v) * m3                                  # [B,N,3]
         r2_f = jnp.sum(diff * diff, axis=-1, keepdims=True)      # [B,N,1]
         r2 = r2_f.astype(dt)
@@ -239,20 +279,23 @@ class EGCL(nn.Module):
         u = nn.silu(nn.Dense(self.m_hidden, dtype=dt, name="vnode_in")(
             jnp.concatenate([h_c, r2], axis=-1)))
         u = u * m3.astype(dt)
-        pooled = jnp.sum(u, axis=1, keepdims=True) / count.astype(dt)
         h_v = nn.silu(nn.Dense(self.m_out, dtype=dt, name="vnode_pool")(
-            pooled))                                             # [B,1,m_out]
+            masked_mean(u, node_mask)))                          # [B,1,m_out]
 
-        # scatter: virtual -> per-node message and radial coordinate update
-        cat = jnp.concatenate(
-            [h_c, jnp.broadcast_to(h_v, (*h_c.shape[:2], h_v.shape[-1])),
-             r2], axis=-1)
-        vn_msg = nn.Dense(
-            self.m_out, dtype=dt, name="vnode_out",
-            kernel_init=nn.initializers.zeros,
-        )(cat) * m3.astype(dt)
+        # scatter: virtual -> per-node message and radial coordinate
+        # update. The h_v block of the fused [H+V+1, F] first layers is
+        # graph-constant — project it once at [B,1,F] and broadcast-add
+        # (the same node-projection decomposition _EdgeFirstLayer uses)
+        # instead of re-multiplying the identical vector for all N nodes.
+        vn_msg = _GlobalFirstLayer(
+            self.m_out, h_c.shape[-1], h_v.shape[-1], dt,
+            zero_init=True, name="vnode_out",
+        )(h_c, h_v, r2) * m3.astype(dt)
         s_v = _VectorHead(zero_init=True, name="vnode_x_head")(
-            nn.silu(nn.Dense(self.x_hidden, dtype=dt, name="vnode_x")(cat))
+            nn.silu(_GlobalFirstLayer(
+                self.x_hidden, h_c.shape[-1], h_v.shape[-1], dt,
+                name="vnode_x",
+            )(h_c, h_v, r2))
         )
         norm = jnp.sqrt(jnp.where(m3 > 0, jnp.maximum(r2_f, 1e-12), 1.0))
         x_vn = diff * (s_v.astype(jnp.float32) / (norm + 1.0)) * m3

@@ -85,9 +85,11 @@ def _rescale_gamma_endpoints(state, saved_config: dict):
     The optimizer state holds parameter COPIES that evaluation reads back
     out — schedule-free's ``z`` iterate (``eval_params`` interpolates y/z)
     and the EMA average — which must be rescaled identically or the
-    rescue is defeated for the default optimizer. Adam first/second
-    moments transform as ratio / ratio**2 (linear / quadratic in the
-    parameter), kept exact so resumed training continues smoothly.
+    rescue is defeated for the default optimizer. Adam moments track
+    GRADIENTS, which transform inversely to the parameter (g_raw =
+    g_semantic * scale, so new/old = 1/ratio): mu scales by 1/ratio, nu
+    by 1/ratio**2. (The mu/sqrt(nu) update direction is invariant to a
+    common rescale, so this only matters near eps — kept exact anyway.)
     """
     stored_scale = float(saved_config.get("gamma_endpoint_scale", 1.0))
     current_scale = float(GammaNetwork.endpoint_scale)
@@ -112,10 +114,10 @@ def _rescale_gamma_endpoints(state, saved_config: dict):
             return leaf
         if "z" in keys or "ema" in keys:   # parameter copies
             return leaf * ratio
-        if "mu" in keys:                   # first moment: linear
-            return leaf * ratio
-        if "nu" in keys:                   # second moment: quadratic
-            return leaf * ratio**2
+        if "mu" in keys:                   # first gradient moment
+            return leaf / ratio
+        if "nu" in keys:                   # second gradient moment
+            return leaf / ratio**2
         return leaf
 
     new_opt_state = jtu.tree_map_with_path(fix, state.opt_state)

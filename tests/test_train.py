@@ -403,8 +403,11 @@ class TestCheckpoint:
                     return float(leaf.reshape(-1)[0])
             raise AssertionError(f"{moment} gamma_0 leaf not found")
 
-        assert find(out_e.opt_state, "mu") == pytest.approx(1.0 / scale)
-        assert find(out_e.opt_state, "nu") == pytest.approx(1.0 / scale**2)
+        # moments track gradients (g_raw = g_sem * scale): inverse of the
+        # parameter transform — unstamped (scale 1) -> current (scale s)
+        # means ratio = 1/s, so mu scales by s and nu by s^2
+        assert find(out_e.opt_state, "mu") == pytest.approx(scale)
+        assert find(out_e.opt_state, "nu") == pytest.approx(scale**2)
 
 
 class TestEarlyStopping:
