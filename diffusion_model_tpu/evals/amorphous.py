@@ -255,6 +255,42 @@ def structure_panel(original_pos, original_species, generated_pos,
         panel[f"{k}_generated"] = round(
             float(np.mean([c[k] for c in cn_g])), 3)
 
+    # First-shell Si-O bond peak. The diagnosed large-cell failure mode is
+    # a CENTRED but broader peak (docs/quality/size512net_per_t_profile
+    # .json: generated ~2x the ground-truth width), which the W1/CN
+    # numbers above only reflect indirectly — track mean and width
+    # explicitly so sampling-temperature / training-arm sweeps read off
+    # one number. Bonds = hetero pairs under a slightly loose 2.2 A
+    # cutoff (loose so a broadened peak is measured, not clipped).
+    def _bond_lengths(pos, species, msk, cut=2.2):
+        n = int(msk.sum())
+        p = pos[:n]
+        is_o = species[:n, 0] > 0.5
+        if is_o.all() or (~is_o).all():
+            return np.zeros((0,))
+        d = np.linalg.norm(p[is_o][:, None] - p[~is_o][None], axis=-1)
+        return d[d < cut]
+
+    b_o = np.concatenate([
+        _bond_lengths(p_, s_, m_)
+        for p_, s_, m_ in zip(o_pos, np.asarray(original_species), m)])
+    b_g = np.concatenate([
+        _bond_lengths(p_, s_, m_)
+        for p_, s_, m_ in zip(g_pos, np.asarray(generated_species), m)])
+    if len(b_o) and len(b_g):
+        # robust centre/width (median, half the 16-84 percentile span) so
+        # the sparse 1.9-2.2 A tail doesn't drown the peak statistics
+        def centre_width(b):
+            p16, p50, p84 = np.percentile(b, (16, 50, 84))
+            return float(p50), float((p84 - p16) / 2)
+
+        c_o, w_o = centre_width(b_o)
+        c_g, w_g = centre_width(b_g)
+        panel["bond_peak_center_original"] = round(c_o, 4)
+        panel["bond_peak_center_generated"] = round(c_g, 4)
+        panel["bond_peak_width_original"] = round(w_o, 4)
+        panel["bond_peak_width_generated"] = round(w_g, 4)
+
     # Bond-angle distributions.
     ang_o = [bond_angle_samples(p_, s_, m_, cutoff)
              for p_, s_, m_ in zip(o_pos, np.asarray(original_species), m)]

@@ -100,6 +100,26 @@ class TestPanel:
         assert p["envelope_scale_ratio_p50"] == pytest.approx(1.1, abs=0.01)
         assert p["pair_dist_w1"] > 0.05
 
+    def test_bond_peak_width_tracks_jitter(self):
+        """The explicit bond-peak stats must see the diagnosed failure
+        mode: positional jitter leaves the peak centred but broadens it."""
+        cells = [amorphous_network_cell(seed=i, num_atoms=64)
+                 for i in range(3)]
+        pos, spec, mask = _stack(cells)
+        p0 = structure_panel(pos, spec, pos, spec, mask)
+        assert p0["bond_peak_width_generated"] == \
+            p0["bond_peak_width_original"]
+        rng = np.random.default_rng(1)
+        # sigma 0.15 -> bond-length spread grows ~sqrt(0.154^2 + 0.21^2)
+        # ~ 1.7x, comfortably above the 1.3x assertion for any draw
+        jit = pos + rng.normal(0, 0.15, pos.shape).astype(np.float32)
+        p1 = structure_panel(pos, spec, jit, spec, mask)
+        assert p1["bond_peak_width_generated"] > \
+            1.3 * p1["bond_peak_width_original"]
+        # centred: the median moves far less than the width grows
+        assert abs(p1["bond_peak_center_generated"]
+                   - p1["bond_peak_center_original"]) < 0.1
+
     def test_pair_w1_monotone_in_jitter(self):
         cells = [amorphous_network_cell(seed=i, num_atoms=64)
                  for i in range(3)]
