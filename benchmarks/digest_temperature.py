@@ -26,6 +26,9 @@ PANEL_KEYS = (
     "pair_dist_w1", "cn_si_mean_generated", "cn_o_mean_generated",
     "angle_osio_w1_deg", "angle_siosi_w1_deg",
     "envelope_scale_ratio_p95",
+    "excess_rdf_cos",
+    "bond_peak_center_original", "bond_peak_center_generated",
+    "bond_peak_width_original", "bond_peak_width_generated",
 )
 
 
