@@ -206,6 +206,9 @@ def distill(cfg: Config, trainer: Trainer, state, train_graphs: list,
         deterministic_sampling=True,
         sample_grid="uniform",
         optimizer="Adam",
+        # the student's TrainState carries opt_state=None — an inherited
+        # ema_decay>0 would send eval_params to opt_state[-1].ema and crash
+        ema_decay=0.0,
     )
     student_state = TrainState(
         params=student_params, opt_state=None,

@@ -38,10 +38,11 @@ def main(argv=None):
     g = cfg.gen_num_per_spectrum
 
     # shell-agnostic CN2 readout (evals/cn2: originals from rows 1,2,
-    # generated Si located by species argmax); the parity helpers own the
-    # group-mean plumbing, the geometry is re-read only for the raw
-    # bond scatter below
-    avg_theta, avg_phi = conditional_angle_parity(results, g)
+    # generated Si located by species argmax); extract the per-sample
+    # geometry ONCE and share it across both parity readouts and the raw
+    # bond scatter (it is the dominant cost on large result sets)
+    geo = _cn2_sample_geometry(results)
+    avg_theta, avg_phi = conditional_angle_parity(results, g, geo=geo)
     n = len(avg_theta)
     r2 = r2score(avg_theta, avg_phi)
 
@@ -67,9 +68,8 @@ def main(argv=None):
     logger.log_figure("cn2_angle_scatter", fig)
     plt.close(fig)
 
-    avg_bo, avg_bg = conditional_bond_parity(results, g)
+    avg_bo, avg_bg = conditional_bond_parity(results, g, geo=geo)
     r2_bond = r2score(avg_bo, avg_bg)
-    geo = _cn2_sample_geometry(results)
     bonds_orig = np.concatenate([geo["bond1_o"], geo["bond2_o"]])
     bonds_gen = np.concatenate([geo["bond1_g"], geo["bond2_g"]])
     rejected2 = np.concatenate([geo["invalid"], geo["invalid"]])

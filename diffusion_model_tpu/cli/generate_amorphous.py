@@ -138,9 +138,16 @@ def main(argv=None):
                 results["generated_species"][keep],
                 results["mask"][keep])
             if make_cell is not None:
-                # ceiling is only defined against a resampleable source
+                # ceiling is only defined against a resampleable source.
+                # num_cells = DISTINCT accepted conditions, not samples:
+                # each condition repeats gen_num_per_spectrum times in the
+                # aggregate, and repeats don't reduce sample noise the way
+                # independent cells do — counting samples would inflate
+                # the ceiling beyond what any generator can reach.
+                ids = results["ids"]
+                distinct = len({ids[i] for i in keep})
                 panel["rdf_ceiling"] = exo_rdf_resampling_ceiling(
-                    lambda s: make_cell(int(s)), num_cells=len(keep),
+                    lambda s: make_cell(int(s)), num_cells=distinct,
                     pairs=3)
         panel_path = os.path.join(args.run_dir, "amorphous_panel.json")
         with open(panel_path, "w") as f:

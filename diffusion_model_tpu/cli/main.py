@@ -136,10 +136,10 @@ def main(argv=None):
         print(f"generated structures saved at {out}")
 
     if args.mode == "evaluate_only":
-        path = logger.artifact("generated_graph_save_path")
-        z = np.load(path, allow_pickle=False)
-        results = {k: z[k] for k in z.files if k != "ids"}
-        results["ids"] = z["ids"].tolist()
+        from diffusion_model_tpu.cli.common import load_results
+
+        # accepted_only=False: api.evaluate applies its own accept filter
+        results = load_results(args.run_dir, accepted_only=False)
 
     if results is not None and cfg.conditional:
         summary = api.evaluate(results, args.run_dir, logger,

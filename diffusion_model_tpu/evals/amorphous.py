@@ -172,7 +172,9 @@ def _highpass(v: np.ndarray, sigma_bins: float) -> np.ndarray:
 
 def excess_rdf_cos(pos_a, mask_a, pos_b, mask_b, seed: int = 0,
                    bg_sigma_angstrom: float = 0.5, sigma: float = 5.0,
-                   r_max: float = 5.0, dr: float = 0.01) -> float:
+                   r_max: float = 5.0, dr: float = 0.01,
+                   agg_a: np.ndarray = None,
+                   agg_b: np.ndarray = None) -> float:
     """Cosine of the envelope-SUBTRACTED aggregate exO-RDFs of two stacks.
 
     For large dense cells the raw exO-RDF is dominated by the smooth
@@ -186,12 +188,19 @@ def excess_rdf_cos(pos_a, mask_a, pos_b, mask_b, seed: int = 0,
     before the cosine: a structureless generator scores ~0, ground truth
     vs ground truth defines the ceiling under the same subtraction.
     ``seed`` is accepted for API stability; the readout is deterministic.
+    ``agg_a``/``agg_b``: optional precomputed ``aggregate_exo_rdf`` curves
+    — the O(G*N^2) aggregation dominates panel cost, so callers that
+    already hold the curves pass them instead of recomputing.
     """
     del seed
     kw = dict(sigma=sigma, r_max=r_max, dr=dr)
     sb = bg_sigma_angstrom / dr
-    a = _highpass(aggregate_exo_rdf(pos_a, mask_a, **kw), sb)
-    b = _highpass(aggregate_exo_rdf(pos_b, mask_b, **kw), sb)
+    if agg_a is None:
+        agg_a = aggregate_exo_rdf(pos_a, mask_a, **kw)
+    if agg_b is None:
+        agg_b = aggregate_exo_rdf(pos_b, mask_b, **kw)
+    a = _highpass(agg_a, sb)
+    b = _highpass(agg_b, sb)
     denom = np.linalg.norm(a) * np.linalg.norm(b)
     return float(np.dot(a, b) / max(denom, 1e-12))
 
@@ -223,17 +232,21 @@ def structure_panel(original_pos, original_species, generated_pos,
     panel["aggregate_rdf_cos"] = round(
         float(rdf_metrics(rdf_o, rdf_g)["cos"]), 4)
     cloud = envelope_matched_cloud(o_pos, m, rng)
+    rdf_cloud = aggregate_exo_rdf(cloud, m)
     panel["aggregate_rdf_cos_structureless_floor"] = round(
-        float(rdf_metrics(rdf_o, aggregate_exo_rdf(cloud, m))["cos"]), 4)
+        float(rdf_metrics(rdf_o, rdf_cloud)["cos"]), 4)
 
     # Envelope-subtracted readout: discriminative where the raw cosine
     # saturates on the smooth background (see excess_rdf_cos). Bracket:
     # a structureless generator scores ~0, the resampling ceiling under
     # the same subtraction is exo_rdf_resampling_ceiling()["excess_mean"].
+    # The already-computed aggregates are passed through — the O(G*N^2)
+    # aggregation dominates panel cost and was being paid 2-3x.
     panel["excess_rdf_cos"] = round(
-        excess_rdf_cos(o_pos, m, g_pos, m, seed=seed), 4)
+        excess_rdf_cos(o_pos, m, g_pos, m, agg_a=rdf_o, agg_b=rdf_g), 4)
     panel["excess_rdf_cos_structureless_floor"] = round(
-        excess_rdf_cos(o_pos, m, cloud, m, seed=seed + 1), 4)
+        excess_rdf_cos(o_pos, m, cloud, m, agg_a=rdf_o, agg_b=rdf_cloud),
+        4)
 
     # All-pairs distance distribution W1 (A). Scale- and order-sensitive,
     # monotone in corruption; pooled over the stack.

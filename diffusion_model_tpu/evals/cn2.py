@@ -135,19 +135,23 @@ def _cn2_sample_geometry(results: dict):
     return out
 
 
-def conditional_angle_parity(results: dict, group: int):
+def conditional_angle_parity(results: dict, group: int, geo: dict = None):
     """Aligned per-condition group means of (original, generated)
     Si-exO-Si angles for the CN2 conditions of an ``api.generate`` result
-    (see ``_cn2_sample_geometry`` for the shell-agnostic readout)."""
-    geo = _cn2_sample_geometry(results)
+    (see ``_cn2_sample_geometry`` for the shell-agnostic readout).
+    Pass a precomputed ``geo`` to share the per-sample extraction with
+    other readouts (it is the dominant cost on large result sets)."""
+    if geo is None:
+        geo = _cn2_sample_geometry(results)
     return aligned_group_means(geo["angle_o"], geo["angle_g"], group,
                                invalid=geo["invalid"])
 
 
-def conditional_bond_parity(results: dict, group: int):
+def conditional_bond_parity(results: dict, group: int, geo: dict = None):
     """Aligned per-condition group means of the two Si-exO bond lengths
     (both bonds concatenated, reference style ref CN2_evaluate.py)."""
-    geo = _cn2_sample_geometry(results)
+    if geo is None:
+        geo = _cn2_sample_geometry(results)
     bonds_o = np.concatenate([geo["bond1_o"], geo["bond2_o"]])
     bonds_g = np.concatenate([geo["bond1_g"], geo["bond2_g"]])
     invalid = np.concatenate([geo["invalid"], geo["invalid"]])

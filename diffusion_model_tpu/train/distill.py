@@ -211,7 +211,9 @@ def distill_loss(student_params, teacher_params, apply_fn, cfg: Config,
 
 @flax.struct.dataclass
 class DistillResult:
-    params: dict          # student denoiser params ({"denoiser": ...})
+    params: dict          # BARE student denoiser variables (the same
+    # shape as the teacher_denoiser_params input — callers wrap it back
+    # under {"denoiser": ...} themselves, see api.distill)
     num_steps: int = flax.struct.field(pytree_node=False)
 
 

@@ -50,7 +50,14 @@ def diffuse_batch(schedule: Schedule, cfg: Config, key, batch: GraphBatch):
                 f"within [1, num_diffusion_timestep="
                 f"{cfg.num_diffusion_timestep}]"
             )
-        k_sel, k_band = jax.random.split(k_t)
+        # Key hygiene: split(k_t) children are threefry(k_t, 0..3) — the
+        # SAME counter words randint(k_t, (b,)) already emitted as t[0..1],
+        # i.e. the selection key would literally equal the first t draw's
+        # bits. Deriving via fold_in with constants beyond any batch size
+        # keeps the streams disjoint while leaving the frac=0 path (and
+        # its reference-exact t draw) bit-identical.
+        k_sel = jax.random.fold_in(k_t, 0x7FFFFFFE)
+        k_band = jax.random.fold_in(k_t, 0x7FFFFFFD)
         t_band = jax.random.randint(
             k_band, (b,), cfg.t_bias_lo, cfg.t_bias_hi + 1
         )

@@ -340,15 +340,13 @@ class Trainer:
 
         cfg = self.cfg
         steps = cfg.kabsch_loss_steps or cfg.num_diffusion_timestep
-        # sample_steps=0: the schedule is already subsampled here — letting
-        # the sampler re-stride it would run duplicate identity steps
-        sub_cfg = cfg.replace(num_diffusion_timestep=steps, sample_steps=0)
-        if steps != cfg.num_diffusion_timestep:
-            # subsample the schedule table onto the reduced step count
-            idx = jnp.linspace(
-                0, cfg.num_diffusion_timestep, steps + 1
-            ).astype(jnp.int32)
-            schedule = Schedule(alphas=schedule.alphas[idx])
+        # Let the sampler do its own striding (sample_steps=steps): its
+        # round(linspace) grid and t_norm_table = idx/T keep the
+        # (alpha_t, t_norm) pairs consistent with training for ANY step
+        # count — a hand-rolled truncated-linspace subsample here fed the
+        # denoiser t_norm = k/steps, which diverges from idx[k]/T whenever
+        # steps does not divide T (identical when it does).
+        sub_cfg = cfg.replace(sample_steps=steps, sample_grid="uniform")
 
         denoise_fn = remat(
             lambda *args: self.model.apply(params["denoiser"], *args)

@@ -155,8 +155,13 @@ def main():
         row["panel"] = structure_panel(
             op, res["original_species"][keep], gp,
             res["generated_species"][keep], m)
+        # num_cells = distinct accepted conditions (samples repeat each
+        # condition gen_num_per_spectrum times — counting them would
+        # inflate the ceiling past any reachable score)
+        ids = res["ids"]
+        distinct = len({ids[i] for i in keep})
         row["rdf_ceiling"] = exo_rdf_resampling_ceiling(
-            lambda s: make_cell(s, args.size), num_cells=len(keep),
+            lambda s: make_cell(s, args.size), num_cells=distinct,
             pairs=3)
 
     out = {"config": f"{os.path.basename(args.run_dir)}_eval_n{args.size}",

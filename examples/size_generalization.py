@@ -45,6 +45,14 @@ def main():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--neighbor_k", type=int, default=16)
     p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--L", type=int, default=5,
+                   help="EGCL stack depth (5 = reference). Shrinking L "
+                        "with small neighbor_k makes receptive-field "
+                        "locality binding at CPU-ablation scales")
+    p.add_argument("--hidden", type=int, default=1024,
+                   help="MLP hidden width for m/h/x (1024 = reference)")
+    p.add_argument("--m_size", type=int, default=256,
+                   help="message width (256 = reference)")
     p.add_argument("--sizes", type=str, default="72,96,144,192")
     p.add_argument("--gen_cells", type=int, default=8,
                    help="conditions per evaluation size")
@@ -135,6 +143,8 @@ def main():
 
     cfg = Config(
         n_max=args.train_max, neighbor_k=args.neighbor_k,
+        L=args.L, m_hidden_size=args.hidden, h_hidden_size=args.hidden,
+        x_hidden_size=args.hidden, m_size=args.m_size,
         batch_size=args.batch_size,
         num_diffusion_timestep=args.timesteps, num_epochs=args.epochs,
         lr=args.lr, max_grad_norm=args.max_grad_norm,
@@ -205,9 +215,14 @@ def main():
             # ground-truth resampling ceiling of the aggregate-RDF metric
             # at THIS protocol size — compare aggregate_rdf_cos to this,
             # not to 1.0 (single-site RDF aggregates are sample-noise
-            # limited; docs/quality/rdf_resampling_ceilings.json)
+            # limited; docs/quality/rdf_resampling_ceilings.json).
+            # num_cells = DISTINCT accepted conditions (each repeats
+            # gen_num_per_spectrum times in the aggregate; repeats don't
+            # reduce sample noise like independent cells would)
+            ids = res["ids"]
+            distinct = len({ids[i] for i in keep})
             row["rdf_ceiling"] = exo_rdf_resampling_ceiling(
-                lambda s: make_cell(s, size), num_cells=len(keep),
+                lambda s: make_cell(s, size), num_cells=distinct,
                 pairs=3)
             np.savez_compressed(
                 os.path.join(args.out_dir, f"positions_n{size}.npz"),
