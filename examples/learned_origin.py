@@ -161,6 +161,15 @@ def main():
 
     # --- final quality at the flagship protocol -----------------------
     results = api.generate(cfg, trainer, state, test_set)
+    # persist the samples in the flagship layout so the conditional-
+    # geometry readout (examples/flagship_ceiling.py --run_dir) can score
+    # this schedule the same way learned_ceiling.json scored the
+    # default-init learned run
+    np.savez_compressed(
+        os.path.join(args.out_dir, "generated.npz"),
+        **{k: v for k, v in results.items() if k != "ids"},
+        ids=np.asarray(results["ids"]),
+    )
     keep = np.nonzero(results["accepted"])[0]
     rdf_rows = evaluate_rdf_lists(
         results["original_pos"][keep], results["mask"][keep],
