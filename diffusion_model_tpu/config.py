@@ -198,6 +198,15 @@ class Config:
     # and centre look locally identical; this scalar breaks that
     # degeneracy at O(N) cost. Off by default (the reference's dense
     # topology is global already).
+    remat_egcl: bool = False
+    # rematerialise each EGCL layer (jax.checkpoint) so the backward pass
+    # recomputes layer activations instead of holding all L layers live.
+    # At 512-atom kNN-32 batch-32 training the per-layer edge-MLP hidden
+    # activations are ~1 GiB each ([B,N,K,m_hidden] bf16) and the full
+    # 5-layer stack plus backward exceeds the 16 GiB v5e HBM
+    # (/tmp/run512_attempt*.log RESOURCE_EXHAUSTED); remat caps the live
+    # set at ~one layer for ~33% extra forward FLOPs. Numerically
+    # identical — parity-tested in tests/test_egnn.py.
     debug_nans: bool = False        # jax.debug analogue of torch anomaly mode
     mesh_shape: Sequence[int] = ()  # empty = single device
     mesh_axis_names: Sequence[str] = ("data",)

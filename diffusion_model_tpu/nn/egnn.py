@@ -430,11 +430,18 @@ class EquivariantGNN(nn.Module):
     h_init_scale: float = 1.0
     h_residual: bool = False
     virtual_node: bool = False
+    remat_egcl: bool = False
+    # Rematerialise each layer under grad (config.remat_egcl): the live
+    # activation set drops from L layers to ~1 at the cost of one extra
+    # forward per layer on the backward pass. The lifted transform keeps
+    # the parameter tree bit-identical (same scope names), so checkpoints,
+    # the Pallas fast path and the ring path are unaffected.
 
     @nn.compact
     def __call__(self, h, x, edges, node_mask=None):
+        layer_cls = nn.remat(EGCL) if self.remat_egcl else EGCL
         for l in range(self.L):
-            h, x = EGCL(
+            h, x = layer_cls(
                 m_hidden=self.m_hidden,
                 m_out=self.m_out,
                 x_hidden=self.x_hidden,
@@ -447,5 +454,5 @@ class EquivariantGNN(nn.Module):
                 h_residual=self.h_residual,
                 virtual_node=self.virtual_node,
                 name=f"egcl_{l}",
-            )(h, x, edges, node_mask=node_mask)
+            )(h, x, edges, node_mask)
         return h, x

@@ -84,6 +84,12 @@ def main():
                    help="residual node update h + mlp_h(...) "
                         "(config.h_residual) — the conditioning fix for "
                         "the non-residual blowup at large cells")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise each EGCL layer in the train step "
+                        "(config.remat_egcl) — required at 512-atom "
+                        "kNN-32 batch-32, whose un-remat'ed backward "
+                        "OOMs the 16 GiB v5e (per-layer edge-MLP "
+                        "activations are ~1 GiB each)")
     p.add_argument("--t_bias_frac", type=float, default=0.0,
                    help="fraction of per-graph timesteps drawn from the "
                         "mid-noise band (config.t_bias_frac) — targets "
@@ -154,6 +160,7 @@ def main():
         virtual_node=args.virtual_node,
         h_init_scale=args.h_init_scale,
         h_residual=args.h_residual,
+        remat_egcl=args.remat,
         t_bias_frac=args.t_bias_frac,
         checkpoint_every=500,  # long 512-atom runs survive interruption
     )
