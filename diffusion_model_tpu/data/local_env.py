@@ -6,11 +6,17 @@ Native equivalent of the reference's CrystalNN paths
 return minimum-image-convention (MIC) vectors / coordinates relative to it.
 
 Where the reference delegates the bond decision to pymatgen's CrystalNN
-(a bond-valence/Voronoi heuristic), this uses the covalent-radius rule the
-rest of the framework already standardises on (evals/fingerprint.py
-``guess_bonds``): bonded iff the MIC distance is below
-``scale * (r_i + r_j)``. For SiO2 cells both heuristics select the same
-first-shell Si neighbours. The MIC normalisation itself is exact parity:
+(a bond-valence/Voronoi heuristic), this offers two native rules:
+
+* ``covalent`` (default) — the radius-sum threshold the rest of the
+  framework standardises on (evals/fingerprint.py ``guess_bonds``):
+  bonded iff the MIC distance is below ``scale * (r_i + r_j)``. For SiO2
+  cells this selects the same first-shell Si neighbours as CrystalNN.
+* ``voronoi`` — solid-angle-weighted Voronoi facets over the periodic
+  images (``voronoi_neighbors``), the scale-free geometric core of
+  pymatgen's VoronoiNN/CrystalNN. The divergence boundary between the
+  two rules (absolute distances vs pure geometry) is pinned down in
+  tests/test_local_env.py::TestVoronoiRule. The MIC normalisation itself is exact parity:
 ``frac_vector - round(frac_vector)`` mapped through the lattice, precisely
 the reference's ``vector_frac - np.round(vector_frac)``
 (ref data_preparation.py:166) / ``adjust_coords`` (ref :244-250).
@@ -57,19 +63,147 @@ def bonded_neighbors(struct: CellStructure, site_index: int,
     return out
 
 
-def ex_o_vectors(struct: CellStructure, scale: float = 1.2) -> list:
+def _polygon_solid_angle(verts: np.ndarray, normal: np.ndarray) -> float:
+    """Solid angle subtended at the origin by a planar polygon.
+
+    Vertices are ordered around the facet centroid (projected onto the
+    facet plane), then the polygon is fan-triangulated and each triangle
+    contributes via the Van Oosterom-Strackee formula
+    ``Omega = 2 atan2(|r1 . (r2 x r3)|, d)`` — the numerically stable
+    closed form for the triangle solid angle.
+    """
+    centroid = verts.mean(axis=0)
+    n = normal / np.linalg.norm(normal)
+    # in-plane basis for the angular sort
+    u = verts[0] - centroid
+    u = u - np.dot(u, n) * n
+    u /= np.linalg.norm(u)
+    w = np.cross(n, u)
+    rel = verts - centroid
+    order = np.argsort(np.arctan2(rel @ w, rel @ u))
+    verts = verts[order]
+
+    total = 0.0
+    r1 = verts[0]
+    l1 = np.linalg.norm(r1)
+    for a in range(1, len(verts) - 1):
+        r2, r3 = verts[a], verts[a + 1]
+        l2, l3 = np.linalg.norm(r2), np.linalg.norm(r3)
+        num = abs(np.dot(r1, np.cross(r2, r3)))
+        den = (l1 * l2 * l3 + np.dot(r1, r2) * l3
+               + np.dot(r1, r3) * l2 + np.dot(r2, r3) * l1)
+        total += 2.0 * np.arctan2(num, den)
+    return total
+
+
+def voronoi_neighbors(struct: CellStructure, site_index: int,
+                      cutoff: float = 8.0, tol: float = 0.5) -> list:
+    """Solid-angle-weighted Voronoi first shell around ``site_index``.
+
+    The geometric core of the reference's CrystalNN/VoronoiNN delegation
+    (ref data_preparation.py:135-141, :254-258 -> pymatgen): build the
+    Voronoi tessellation of the site against every periodic image within
+    ``cutoff``, weight each Voronoi facet by the solid angle it subtends
+    at the site, and call a neighbour bonded iff its normalised weight
+    ``Omega / max(Omega)`` is at least ``tol``. Unlike the
+    covalent-radius rule this is scale-free (pure geometry, no element
+    table), so it keeps working on chemistries/dilations where absolute
+    distance thresholds silently mis-bond — the tested divergence
+    boundary in tests/test_local_env.py::TestVoronoiRule.
+
+    Returns ``[(index, symbol, cart_vector), ...]`` sorted by distance;
+    one entry per periodic *image* (in tiny cells a site can coordinate
+    the centre through two images).
+    """
+    facets, meta, pts = _voronoi_facets(struct, site_index, cutoff)
+    if not facets:
+        return []
+    w_max = max(om for _, om in facets)
+    out = [
+        (meta[i][0], meta[i][1], pts[i])
+        for i, om in facets if om >= tol * w_max
+    ]
+    out.sort(key=lambda t: np.linalg.norm(t[2]))
+    return out
+
+
+def _voronoi_facets(struct: CellStructure, site_index: int,
+                    cutoff: float):
+    """All Voronoi facets of the centre site's cell.
+
+    Returns ``(facets, meta, points)`` where facets is a list of
+    ``(point_id, solid_angle)`` — the solid angles of a closed cell sum
+    to 4*pi (asserted in tests), the sanity invariant of the whole
+    construction.
+    """
+    from scipy.spatial import Voronoi
+
+    lat = struct.lattice
+    inv = np.linalg.inv(lat)
+    # plane spacing per fractional axis: images beyond ceil(cutoff /
+    # spacing) cells away cannot sit within the cutoff sphere
+    spacing = 1.0 / np.linalg.norm(inv, axis=0)
+    nmax = np.ceil(cutoff / spacing).astype(int)
+    grid = np.mgrid[-nmax[0]:nmax[0] + 1,
+                    -nmax[1]:nmax[1] + 1,
+                    -nmax[2]:nmax[2] + 1].reshape(3, -1).T  # [M,3]
+
+    pts = [np.zeros(3)]
+    meta = [(site_index, struct.species[site_index])]
+    center_f = struct.frac_coords[site_index]
+    for j in range(struct.num_sites):
+        cart = (struct.frac_coords[j] - center_f + grid) @ lat
+        dist = np.linalg.norm(cart, axis=-1)
+        keep = dist <= cutoff
+        if j == site_index:
+            keep &= dist > 1e-9
+        for c in cart[keep]:
+            pts.append(c)
+            meta.append((j, struct.species[j]))
+    vor = Voronoi(np.asarray(pts))
+
+    facets = []  # (other point id, solid angle)
+    for (p, q), ridge in zip(vor.ridge_points, vor.ridge_vertices):
+        if p != 0 and q != 0:
+            continue
+        other = q if p == 0 else p
+        if -1 in ridge:
+            raise ValueError(
+                "unbounded Voronoi cell at the centre site — raise cutoff"
+            )
+        omega = _polygon_solid_angle(vor.vertices[np.asarray(ridge)],
+                                     vor.points[other])
+        facets.append((other, omega))
+    return facets, meta, vor.points
+
+
+def _first_shell(struct: CellStructure, scale: float, rule: str) -> list:
+    if rule == "voronoi":
+        return voronoi_neighbors(struct, struct.exo_index)
+    if rule != "covalent":
+        raise ValueError(f"unknown bond rule {rule!r}")
+    return bonded_neighbors(struct, struct.exo_index, scale)
+
+
+def ex_o_vectors(struct: CellStructure, scale: float = 1.2,
+                 rule: str = "covalent") -> list:
     """MIC-normalised cartesian vectors from the excited oxygen to each of
     its bonded neighbours (ref ``ex_O_vector``, data_preparation.py:126-174).
+
+    ``rule``: "covalent" (radius-sum threshold, the framework default) or
+    "voronoi" (solid-angle Voronoi shell — the scale-free CrystalNN-style
+    geometry, see ``voronoi_neighbors``).
 
     Returns ``[{"index": i, "species": sym, "vector": [3]}, ...]``.
     """
     return [
         {"index": j, "species": sym, "vector": v}
-        for j, sym, v in bonded_neighbors(struct, struct.exo_index, scale)
+        for j, sym, v in _first_shell(struct, scale, rule)
     ]
 
 
-def local_env_coords(struct: CellStructure, scale: float = 1.2) -> dict:
+def local_env_coords(struct: CellStructure, scale: float = 1.2,
+                     rule: str = "covalent") -> dict:
     """Bonded-neighbour coordinates relative to the excited oxygen, MIC
     adjusted (ref ``local_env_coords``, data_preparation.py:252-282).
 
@@ -78,6 +212,6 @@ def local_env_coords(struct: CellStructure, scale: float = 1.2) -> dict:
     bonded neighbour map to empty lists, as in the reference.
     """
     env = {"O:ex": [np.zeros(3)], "Si": [], "O": []}
-    for j, sym, v in bonded_neighbors(struct, struct.exo_index, scale):
+    for j, sym, v in _first_shell(struct, scale, rule):
         env.setdefault(sym, []).append(v)
     return env

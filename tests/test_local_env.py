@@ -159,3 +159,82 @@ class TestBondRuleBoundary:
                                    species=["O", "Si", "Si"], exo_index=0)
             bonds = bonded_neighbors(struct, 0)
             assert len(bonds) == expect_n, (d_far, bonds)
+
+
+class TestVoronoiRule:
+    """Solid-angle Voronoi first shell (local_env.voronoi_neighbors) — the
+    scale-free CrystalNN-style geometry the reference delegates to
+    pymatgen (ref data_preparation.py:135-141, :254-258), and the tested
+    divergence boundary against the framework's covalent-radius rule."""
+
+    def _quartz(self):
+        from diffusion_model_tpu.data.cell import read_castep_cell
+
+        return read_castep_cell(
+            "tests/fixtures/castep/sample_000_quartz/coreloss.cell")
+
+    def test_solid_angles_close_the_sphere(self, rng):
+        """The facet solid angles of a closed Voronoi cell MUST sum to
+        4*pi — the global invariant of the polygon solid-angle math."""
+        from diffusion_model_tpu.data.local_env import _voronoi_facets
+
+        for lattice_name in sorted(LATTICES):
+            struct = _random_cell(np.random.default_rng(3),
+                                  LATTICES[lattice_name])
+            facets, _, _ = _voronoi_facets(struct, 0, 8.0)
+            total = sum(om for _, om in facets)
+            np.testing.assert_allclose(total, 4 * np.pi, rtol=1e-9)
+
+    def test_quartz_first_shell_matches_covalent(self):
+        """On real SiO2 (the bundled alpha-quartz CASTEP fixture) the two
+        bond rules agree: the bridging exO coordinates exactly its two Si
+        at the frozen crystallographic distances."""
+        from diffusion_model_tpu.data.local_env import voronoi_neighbors
+
+        s = self._quartz()
+        vn = voronoi_neighbors(s, s.exo_index)
+        cv = bonded_neighbors(s, s.exo_index)
+        assert [(j, sym) for j, sym, _ in vn] == \
+            [(j, sym) for j, sym, _ in cv]
+        assert [sym for _, sym, _ in vn] == ["Si", "Si"]
+        np.testing.assert_allclose(
+            sorted(np.linalg.norm(v) for _, _, v in vn),
+            [1.6075, 1.6101], atol=2e-4)
+
+    def test_divergence_boundary_scale_free(self):
+        """THE boundary where the rules part ways: dilate the quartz cell
+        1.4x and the covalent radius-sum threshold (absolute distances)
+        loses the whole shell, while the Voronoi rule (pure geometry,
+        scale-free) returns the identical two Si — the regime where the
+        covalent substitution for CrystalNN stops matching (VERDICT r2
+        missing #1)."""
+        from diffusion_model_tpu.data.cell import CellStructure
+        from diffusion_model_tpu.data.local_env import voronoi_neighbors
+
+        s = self._quartz()
+        dilated = CellStructure(
+            lattice=s.lattice * 1.4, frac_coords=s.frac_coords,
+            species=s.species, exo_index=s.exo_index)
+        assert bonded_neighbors(dilated, dilated.exo_index) == []
+        vn = voronoi_neighbors(dilated, dilated.exo_index)
+        assert [(j, sym) for j, sym, _ in vn] == \
+            [(j, sym) for j, sym, _ in
+             voronoi_neighbors(s, s.exo_index)]
+
+    def test_extractors_accept_rule(self):
+        """ex_o_vectors / local_env_coords expose the rule switch and give
+        the same payload for both rules on quartz."""
+        s = self._quartz()
+        for fn in (ex_o_vectors, local_env_coords):
+            a, b = fn(s), fn(s, rule="voronoi")
+            ja = jb = None
+            if fn is ex_o_vectors:
+                ja = [(e["index"], e["species"]) for e in a]
+                jb = [(e["index"], e["species"]) for e in b]
+                assert ja == jb
+            else:
+                assert len(a["Si"]) == len(b["Si"]) == 2
+                for va, vb in zip(a["Si"], b["Si"]):
+                    np.testing.assert_allclose(va, vb, atol=1e-9)
+        with pytest.raises(ValueError):
+            ex_o_vectors(s, rule="nonsense")
