@@ -344,3 +344,31 @@ class TestServe:
                      trainer.schedule_for(params), cfg,
                      jax.random.PRNGKey(jnp.uint32(3)), cond)
         np.testing.assert_allclose(pos, np.asarray(res.pos), atol=1e-4)
+
+    def test_knn_topology_export_roundtrip(self, tmp_path):
+        """neighbor_k > 0 flows through the AOT export: the per-step kNN
+        rebuild (top_k over masked distances) is plain XLA, so the
+        large-cell topology — the class the 512-atom quality models use —
+        serves from the same artifact format as the dense path."""
+        cfg = tiny_cfg(neighbor_k=3, h_residual=True, virtual_node=True)
+        data = synthetic_sio2_dataset(0, 4, cfg.n_max,
+                                      spectrum_size=cfg.spectrum_size)
+        cond = collate(data[:2], cfg.n_max)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.key(0), cond)
+
+        path = str(tmp_path / "sampler_knn.bin")
+        export_sampler(cfg, trainer, state, path, batch_size=2,
+                       platforms=("cpu",))
+        served = ServedSampler(path)
+        pos, species, accepted = served(
+            3, np.asarray(cond.spectrum), np.asarray(cond.exo),
+            np.asarray(cond.mask),
+        )
+        assert np.isfinite(pos).all()
+
+        params = state.eval_params(cfg)
+        res = sample(trainer.denoise_fn(params),
+                     trainer.schedule_for(params), cfg,
+                     jax.random.PRNGKey(jnp.uint32(3)), cond)
+        np.testing.assert_allclose(pos, np.asarray(res.pos), atol=1e-4)
