@@ -29,6 +29,8 @@ import numpy as np
 
 
 def main():
+    from diffusion_model_tpu.utils import apply_env_platform
+    apply_env_platform()  # JAX_PLATFORMS=cpu must win over the sandbox
     from diffusion_model_tpu.config import Config
     from diffusion_model_tpu.data.split import batch_iterator
     from diffusion_model_tpu.data.synthetic import amorphous_cell

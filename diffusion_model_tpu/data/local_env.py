@@ -114,8 +114,24 @@ def voronoi_neighbors(struct: CellStructure, site_index: int,
     Returns ``[(index, symbol, cart_vector), ...]`` sorted by distance;
     one entry per periodic *image* (in tiny cells a site can coordinate
     the centre through two images).
+
+    ``cutoff`` self-validates: a bounded cell whose farthest Voronoi
+    vertex reaches past ``cutoff/2`` could still be clipped by an
+    excluded point just outside the ball, so the tessellation is retried
+    with a doubled cutoff until every vertex sits strictly inside
+    ``cutoff/2`` (at most 3 doublings, then ValueError).
     """
-    facets, meta, pts = _voronoi_facets(struct, site_index, cutoff)
+    for _ in range(4):
+        facets, meta, pts, vert_max = _voronoi_facets(
+            struct, site_index, cutoff)
+        if facets and vert_max <= cutoff / 2:
+            break
+        cutoff *= 2.0
+    else:
+        raise ValueError(
+            "voronoi_neighbors: centre cell still reaches past cutoff/2 "
+            "after 3 cutoff doublings — pathologically sparse structure"
+        )
     if not facets:
         return []
     w_max = max(om for _, om in facets)
@@ -131,10 +147,13 @@ def _voronoi_facets(struct: CellStructure, site_index: int,
                     cutoff: float):
     """All Voronoi facets of the centre site's cell.
 
-    Returns ``(facets, meta, points)`` where facets is a list of
-    ``(point_id, solid_angle)`` — the solid angles of a closed cell sum
-    to 4*pi (asserted in tests), the sanity invariant of the whole
-    construction.
+    Returns ``(facets, meta, points, vert_max)`` where facets is a list
+    of ``(point_id, solid_angle)`` — the solid angles of a closed cell
+    sum to 4*pi (asserted in tests), the sanity invariant of the whole
+    construction — and ``vert_max`` is the centre cell's farthest vertex
+    distance: only when it is <= cutoff/2 is the cell provably
+    unaffected by points outside the cutoff ball (a bisector with any
+    excluded point lies at >= cutoff/2 from the centre).
     """
     from scipy.spatial import Voronoi
 
@@ -163,47 +182,58 @@ def _voronoi_facets(struct: CellStructure, site_index: int,
     vor = Voronoi(np.asarray(pts))
 
     facets = []  # (other point id, solid angle)
+    vert_max = 0.0
     for (p, q), ridge in zip(vor.ridge_points, vor.ridge_vertices):
         if p != 0 and q != 0:
             continue
         other = q if p == 0 else p
         if -1 in ridge:
-            raise ValueError(
-                "unbounded Voronoi cell at the centre site — raise cutoff"
-            )
-        omega = _polygon_solid_angle(vor.vertices[np.asarray(ridge)],
-                                     vor.points[other])
+            # unbounded centre cell: caller retries with a larger cutoff
+            return [], meta, vor.points, np.inf
+        verts = vor.vertices[np.asarray(ridge)]
+        omega = _polygon_solid_angle(verts, vor.points[other])
         facets.append((other, omega))
-    return facets, meta, vor.points
+        vert_max = max(vert_max, float(np.max(
+            np.linalg.norm(verts, axis=-1))))
+    return facets, meta, vor.points, vert_max
 
 
-def _first_shell(struct: CellStructure, scale: float, rule: str) -> list:
+def _first_shell(struct: CellStructure, scale: float, rule: str,
+                 voronoi_cutoff: float, voronoi_tol: float) -> list:
     if rule == "voronoi":
-        return voronoi_neighbors(struct, struct.exo_index)
+        # ``scale`` is a covalent-radius concept and has no voronoi
+        # analogue — the bonding decision there is ``voronoi_tol``
+        return voronoi_neighbors(struct, struct.exo_index,
+                                 cutoff=voronoi_cutoff, tol=voronoi_tol)
     if rule != "covalent":
         raise ValueError(f"unknown bond rule {rule!r}")
     return bonded_neighbors(struct, struct.exo_index, scale)
 
 
 def ex_o_vectors(struct: CellStructure, scale: float = 1.2,
-                 rule: str = "covalent") -> list:
+                 rule: str = "covalent", voronoi_cutoff: float = 8.0,
+                 voronoi_tol: float = 0.5) -> list:
     """MIC-normalised cartesian vectors from the excited oxygen to each of
     its bonded neighbours (ref ``ex_O_vector``, data_preparation.py:126-174).
 
-    ``rule``: "covalent" (radius-sum threshold, the framework default) or
-    "voronoi" (solid-angle Voronoi shell — the scale-free CrystalNN-style
-    geometry, see ``voronoi_neighbors``).
+    ``rule``: "covalent" (radius-sum threshold ``scale``, the framework
+    default) or "voronoi" (solid-angle Voronoi shell — the scale-free
+    CrystalNN-style geometry; ``voronoi_tol`` is its bonding threshold
+    and ``voronoi_cutoff`` the image search radius, see
+    ``voronoi_neighbors``; ``scale`` does not apply).
 
     Returns ``[{"index": i, "species": sym, "vector": [3]}, ...]``.
     """
     return [
         {"index": j, "species": sym, "vector": v}
-        for j, sym, v in _first_shell(struct, scale, rule)
+        for j, sym, v in _first_shell(struct, scale, rule,
+                                      voronoi_cutoff, voronoi_tol)
     ]
 
 
 def local_env_coords(struct: CellStructure, scale: float = 1.2,
-                     rule: str = "covalent") -> dict:
+                     rule: str = "covalent", voronoi_cutoff: float = 8.0,
+                     voronoi_tol: float = 0.5) -> dict:
     """Bonded-neighbour coordinates relative to the excited oxygen, MIC
     adjusted (ref ``local_env_coords``, data_preparation.py:252-282).
 
@@ -212,6 +242,7 @@ def local_env_coords(struct: CellStructure, scale: float = 1.2,
     bonded neighbour map to empty lists, as in the reference.
     """
     env = {"O:ex": [np.zeros(3)], "Si": [], "O": []}
-    for j, sym, v in _first_shell(struct, scale, rule):
+    for j, sym, v in _first_shell(struct, scale, rule,
+                                  voronoi_cutoff, voronoi_tol):
         env.setdefault(sym, []).append(v)
     return env

@@ -181,9 +181,10 @@ class TestVoronoiRule:
         for lattice_name in sorted(LATTICES):
             struct = _random_cell(np.random.default_rng(3),
                                   LATTICES[lattice_name])
-            facets, _, _ = _voronoi_facets(struct, 0, 8.0)
+            facets, _, _, vert_max = _voronoi_facets(struct, 0, 8.0)
             total = sum(om for _, om in facets)
             np.testing.assert_allclose(total, 4 * np.pi, rtol=1e-9)
+            assert vert_max <= 4.0  # dense cell: provably cutoff-sufficient
 
     def test_quartz_first_shell_matches_covalent(self):
         """On real SiO2 (the bundled alpha-quartz CASTEP fixture) the two
