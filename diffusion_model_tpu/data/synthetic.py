@@ -307,3 +307,34 @@ def amorphous_network_cell(seed: int, num_atoms: int,
         "cn": 2,
         "id": f"network_{seed}",
     }
+
+
+def cached_cell(maker, cache_dir: str, **kw) -> dict:
+    """Disk-memoised synthetic cell generation.
+
+    Host-side CRN/packing generation is the slow part of large-cell run
+    startup (~6 min for 96 cells at 448-512 atoms), and it is repaid on
+    every ``--resume`` relaunch after a tunnel wedge. The cache key is
+    the maker's name plus its sorted kwargs; the payload is the graph
+    dict as one ``.npz``. Writes are atomic (tmp file + ``os.replace``)
+    so a watchdog kill mid-generation can never leave a truncated entry.
+    """
+    import os
+
+    key = "_".join(
+        [maker.__name__] + [f"{k}={kw[k]}" for k in sorted(kw)]
+    )
+    path = os.path.join(cache_dir, key + ".npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        out = {k: z[k] for k in z.files}
+        out["id"] = str(out["id"])
+        out["cn"] = int(out["cn"])
+        return out
+    g = maker(**kw)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez(f, **g)
+    os.replace(tmp, path)
+    return g

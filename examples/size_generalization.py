@@ -105,6 +105,10 @@ def main():
                         "step (f32 too — not a TPU numerics issue); "
                         "lr*clip<=2e-3 is stable "
                         "(benchmarks/probe_network_nan.py)")
+    p.add_argument("--cell_cache", type=str, default="runs/cell_cache",
+                   help="disk-memoise generated cells here (atomic npz "
+                        "per cell) so --resume relaunches skip the ~6 min "
+                        "host-side regeneration; '' disables")
     p.add_argument("--generator", type=str, default="packing",
                    choices=("packing", "network"),
                    help="'packing' = hard-sphere amorphous_cell (no "
@@ -140,12 +144,14 @@ def main():
     from diffusion_model_tpu.utils.logging import RunLogger
 
     def make_cell(seed, num_atoms):
-        if args.generator == "network":
-            return amorphous_network_cell(
-                seed=seed, num_atoms=num_atoms,
-                spectrum_size=cfg.spectrum_size)
-        return amorphous_cell(seed=seed, num_atoms=num_atoms,
-                              spectrum_size=cfg.spectrum_size)
+        maker = (amorphous_network_cell if args.generator == "network"
+                 else amorphous_cell)
+        kw = dict(seed=seed, num_atoms=num_atoms,
+                  spectrum_size=cfg.spectrum_size)
+        if args.cell_cache:
+            from diffusion_model_tpu.data.synthetic import cached_cell
+            return cached_cell(maker, args.cell_cache, **kw)
+        return maker(**kw)
 
     cfg = Config(
         n_max=args.train_max, neighbor_k=args.neighbor_k,

@@ -222,3 +222,32 @@ class TestMultiSpecies:
         sp = np.asarray(res.species)
         mask = np.asarray(batch.mask)
         assert np.all(sp[mask > 0].sum(-1) == 1)
+
+
+class TestCachedCell:
+    """data/synthetic.cached_cell: disk-memoised generation must return
+    the maker's exact payload on miss AND on hit (dtype/value roundtrip
+    through the atomic npz), and must not re-invoke the maker on hit."""
+
+    def test_roundtrip_and_single_invocation(self, tmp_path):
+        from diffusion_model_tpu.data.synthetic import (
+            amorphous_network_cell,
+            cached_cell,
+        )
+
+        calls = []
+
+        def counting_maker(**kw):
+            calls.append(kw)
+            return amorphous_network_cell(**kw)
+
+        counting_maker.__name__ = "amorphous_network_cell"
+        kw = dict(seed=7, num_atoms=24, spectrum_size=16)
+        first = cached_cell(counting_maker, str(tmp_path), **kw)
+        second = cached_cell(counting_maker, str(tmp_path), **kw)
+        assert len(calls) == 1
+        assert second["id"] == first["id"] == "network_7"
+        assert second["cn"] == first["cn"]
+        for k in ("pos", "species", "spectrum", "exo"):
+            assert second[k].dtype == first[k].dtype
+            np.testing.assert_array_equal(second[k], first[k])
