@@ -198,6 +198,20 @@ class Config:
     # and centre look locally identical; this scalar breaks that
     # degeneracy at O(N) cost. Off by default (the reference's dense
     # topology is global already).
+    edge_rbf: int = 0
+    # number of Gaussian radial-basis features of the edge DISTANCE added
+    # to both edge-MLP pre-activations (nn/egnn.py EGCL.edge_rbf). The
+    # reference's edge geometry input is the single squared-distance
+    # scalar (ref EquivariantGraphNeuralNetwork.py:55-58) — a smooth
+    # monotone feature with poor resolution at the ~0.1 A scale where the
+    # Si-O bond peak lives; the measured 512-atom deficit is a 2x-broad
+    # bond peak and low CN (docs/quality/size512net_per_t_profile.json).
+    # K Gaussians at linspace(0, edge_rbf_rmax, K) give the message MLPs
+    # a sharp local code of the distance. Both injection kernels are
+    # ZERO-initialised, so enabling the flag leaves the untrained network
+    # bit-identical to the plain one. 0 = reference-exact; unsupported on
+    # the Pallas fast path and the ring path (both reject it).
+    edge_rbf_rmax: float = 8.0
     remat_egcl: bool = False
     # rematerialise each EGCL layer (jax.checkpoint) so the backward pass
     # recomputes layer activations instead of holding all L layers live.

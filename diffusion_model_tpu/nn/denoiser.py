@@ -104,6 +104,8 @@ class DiffusionDenoiser(nn.Module):
             h_init_scale=cfg.h_init_scale,
             h_residual=cfg.h_residual,
             virtual_node=cfg.virtual_node,
+            edge_rbf=cfg.edge_rbf,
+            edge_rbf_rmax=cfg.edge_rbf_rmax,
             remat_egcl=cfg.remat_egcl,
             name="egnn",
         )(h_in, pos_t, edges, node_mask=node_mask)

@@ -154,6 +154,23 @@ class _VectorHead(nn.Module):
         return jnp.sum(v * w, axis=-1, keepdims=True) + bias.astype(v.dtype)
 
 
+def _rbf_features(d2_f, valid, num, rmax):
+    """Gaussian radial basis of the edge distance, ``[..., num]`` float32.
+
+    ``d2_f`` is the squared distance (float32), ``valid`` a boolean mask of
+    real edges. The sqrt is guarded under the mask (d2 == 0 on padded/
+    diagonal pairs has an infinite sqrt-gradient; 0 * inf = NaN would
+    poison the backward pass — same safe-where pattern as the coordinate
+    norm). Centers are ``linspace(0, rmax, num)``, width = center spacing.
+    """
+    d = jnp.sqrt(jnp.where(valid, jnp.maximum(d2_f, 1e-12), 1.0))
+    d = jnp.where(valid, d, 0.0)
+    centers = jnp.linspace(0.0, rmax, num, dtype=jnp.float32)
+    width = rmax / (num - 1)
+    z = (d - centers) / width
+    return jnp.exp(-0.5 * z * z)
+
+
 class EGCL(nn.Module):
     """One equivariant graph convolution layer (dense, masked)."""
 
@@ -168,6 +185,18 @@ class EGCL(nn.Module):
     h_init_scale: float = 1.0
     h_residual: bool = False
     virtual_node: bool = False
+    edge_rbf: int = 0
+    edge_rbf_rmax: float = 8.0
+    # ``edge_rbf`` (config.edge_rbf): K Gaussian radial-basis features of
+    # the edge distance, injected into BOTH edge-MLP pre-activations
+    # (message and coordinate branches) through separate bias-free
+    # ZERO-initialised kernels ``rbf_m [K, m_hidden]`` / ``rbf_x
+    # [K, x_hidden]`` — enabling the flag leaves the untrained network
+    # bit-identical to the plain one, and the load-bearing fused
+    # ``[2H+1, F]`` first-layer kernels are untouched. The reference's
+    # only edge-geometry input is the squared distance (ref
+    # EquivariantGraphNeuralNetwork.py:55-58); the RBF code gives the MLPs
+    # sharp sensitivity at the ~0.1 A bond-length scale.
     # ``virtual_node`` adds a global context channel per layer (retrieved
     # technique: "Fast and Distributed Equivariant GNNs by Virtual Node
     # Learning", PAPERS.md): every node exchanges one extra message with a
@@ -245,6 +274,15 @@ class EGCL(nn.Module):
         mods = (m_first, m_second, att, x_first, x_second, x_last,
                 h_dense0, h_dense1)
 
+        rbf_mods = None
+        if self.edge_rbf:
+            rbf_mods = (
+                nn.Dense(self.m_hidden, use_bias=False, dtype=dt,
+                         kernel_init=nn.initializers.zeros, name="rbf_m"),
+                nn.Dense(self.x_hidden, use_bias=False, dtype=dt,
+                         kernel_init=nn.initializers.zeros, name="rbf_x"),
+            )
+
         vn = None
         if self.virtual_node:
             if node_mask is None:
@@ -252,8 +290,10 @@ class EGCL(nn.Module):
             vn = self._virtual_channel(h, x, node_mask)
 
         if isinstance(edges, tuple):
-            return self._sparse_call(mods, h, x, *edges, vn=vn)
-        return self._dense_call(mods, h, x, edges, vn=vn)
+            return self._sparse_call(mods, h, x, *edges, vn=vn,
+                                     rbf_mods=rbf_mods)
+        return self._dense_call(mods, h, x, edges, vn=vn,
+                                rbf_mods=rbf_mods)
 
     def _virtual_channel(self, h, x, node_mask):
         """Global-context messages through a virtual node at the masked CoM.
@@ -301,7 +341,7 @@ class EGCL(nn.Module):
         x_vn = diff * (s_v.astype(jnp.float32) / (norm + 1.0)) * m3
         return vn_msg, x_vn
 
-    def _dense_call(self, mods, h, x, pair_mask, vn=None):
+    def _dense_call(self, mods, h, x, pair_mask, vn=None, rbf_mods=None):
         (m_first, m_second, att, x_first, x_second, x_last,
          h_dense0, h_dense1) = mods
         dt = self.compute_dtype
@@ -319,8 +359,16 @@ class EGCL(nn.Module):
         pm = pair_mask[..., None].astype(dt)
         pm_f = pair_mask[..., None].astype(jnp.float32)
 
+        pre_m = m_first(h_c, d2)                          # [B,N,N,m_hidden]
+        pre_x = x_first(h_c, d2)
+        if rbf_mods is not None:
+            rbf = _rbf_features(d2_f, pm_f > 0, self.edge_rbf,
+                                self.edge_rbf_rmax).astype(dt)
+            pre_m = pre_m + rbf_mods[0](rbf)
+            pre_x = pre_x + rbf_mods[1](rbf)
+
         # h-branch: edge messages, attention gate, masked sum over sources j.
-        m = nn.silu(m_second(nn.silu(m_first(h_c, d2))))  # [B,N,N,m_out]
+        m = nn.silu(m_second(nn.silu(pre_m)))             # [B,N,N,m_out]
         m = m * nn.sigmoid(att(m))
         m = m * pm
         m_sum = jnp.sum(m, axis=2)                        # [B,N,m_out]
@@ -333,7 +381,7 @@ class EGCL(nn.Module):
             h_new = h_new + h_c
 
         # x-branch: scalar weight per edge, equivariant difference update.
-        s = x_last(nn.silu(x_second(nn.silu(x_first(h_c, d2)))))
+        s = x_last(nn.silu(x_second(nn.silu(pre_x))))
         if self.compat_scalar_norm:
             # Frobenius norm over the whole (masked) edge batch, as in
             # ref EquivariantGraphNeuralNetwork.py:64.
@@ -359,7 +407,8 @@ class EGCL(nn.Module):
 
         return h_new.astype(h.dtype), x_new.astype(x.dtype)
 
-    def _sparse_call(self, mods, h, x, idx, edge_mask, vn=None):
+    def _sparse_call(self, mods, h, x, idx, edge_mask, vn=None,
+                     rbf_mods=None):
         """Fixed-degree neighbour-list message passing: identical math to
         the dense path over the K gathered sources per node. The first-layer
         node-projection trick applies unchanged — the j-projections are
@@ -394,6 +443,11 @@ class EGCL(nn.Module):
             pre_x_i[:, :, None, :] + gather(proj_x_j, idx)
             + d2.astype(dt) * x_first.d2_row()
         )
+        if rbf_mods is not None:
+            rbf = _rbf_features(d2, em_f > 0, self.edge_rbf,
+                                self.edge_rbf_rmax).astype(dt)
+            pre_m = pre_m + rbf_mods[0](rbf)
+            pre_x = pre_x + rbf_mods[1](rbf)
 
         m = nn.silu(m_second(nn.silu(pre_m)))
         m = m * nn.sigmoid(att(m)) * em
@@ -430,6 +484,8 @@ class EquivariantGNN(nn.Module):
     h_init_scale: float = 1.0
     h_residual: bool = False
     virtual_node: bool = False
+    edge_rbf: int = 0
+    edge_rbf_rmax: float = 8.0
     remat_egcl: bool = False
     # Rematerialise each layer under grad (config.remat_egcl): the live
     # activation set drops from L layers to ~1 at the cost of one extra
@@ -453,6 +509,8 @@ class EquivariantGNN(nn.Module):
                 h_init_scale=self.h_init_scale,
                 h_residual=self.h_residual,
                 virtual_node=self.virtual_node,
+                edge_rbf=self.edge_rbf,
+                edge_rbf_rmax=self.edge_rbf_rmax,
                 name=f"egcl_{l}",
             )(h, x, edges, node_mask)
         return h, x

@@ -55,6 +55,11 @@ def fast_denoise_fn(cfg: Config, denoiser_params,
             "virtual_node is not wired into the Pallas fast path — use "
             "the XLA path (use_pallas=False)"
         )
+    if cfg.edge_rbf:
+        raise NotImplementedError(
+            "edge_rbf is not wired into the Pallas fast path — use the "
+            "XLA path (use_pallas=False)"
+        )
     p = denoiser_params["params"]
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size

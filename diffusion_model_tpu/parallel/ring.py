@@ -154,6 +154,10 @@ def ring_denoise_apply(cfg: Config, mesh: Mesh, axis: str = "data"):
             "virtual_node is not wired into the ring path — the pooled "
             "global feature needs a psum per layer; use the XLA path"
         )
+    if cfg.edge_rbf:
+        raise NotImplementedError(
+            "edge_rbf is not wired into the ring path — use the XLA path"
+        )
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size
     ndev = mesh.devices.size

@@ -90,6 +90,12 @@ def main():
                         "kNN-32 batch-32, whose un-remat'ed backward "
                         "OOMs the 16 GiB v5e (per-layer edge-MLP "
                         "activations are ~1 GiB each)")
+    p.add_argument("--edge_rbf", type=int, default=0,
+                   help="Gaussian radial-basis features of the edge "
+                        "distance injected into both edge MLPs "
+                        "(config.edge_rbf; zero-init = exact no-op at "
+                        "init) — targets the measured bond-peak blur / "
+                        "CN deficit on network data")
     p.add_argument("--t_bias_frac", type=float, default=0.0,
                    help="fraction of per-graph timesteps drawn from the "
                         "mid-noise band (config.t_bias_frac) — targets "
@@ -167,6 +173,7 @@ def main():
         h_init_scale=args.h_init_scale,
         h_residual=args.h_residual,
         remat_egcl=args.remat,
+        edge_rbf=args.edge_rbf,
         t_bias_frac=args.t_bias_frac,
         checkpoint_every=500,  # long 512-atom runs survive interruption
     )
@@ -252,6 +259,7 @@ def main():
                      f"_{args.generator}"
                      f"_lr{args.lr:g}_clip{args.max_grad_norm:g}"
                      + ("_hres" if args.h_residual else "")
+                     + (f"_rbf{args.edge_rbf}" if args.edge_rbf else "")
                      + (f"_tb{args.t_bias_frac:g}" if args.t_bias_frac else "")
                      + ("_gr" if args.global_radius else "")
                      + ("_vn" if args.virtual_node else ""),

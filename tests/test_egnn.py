@@ -639,3 +639,119 @@ class TestRematEGCL:
                                    rtol=1e-6, atol=1e-7)
         np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_r),
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestEdgeRBF:
+    """config.edge_rbf: Gaussian radial-basis edge features (nn/egnn.py).
+
+    Both injection kernels are zero-init, so enabling the flag is an EXACT
+    no-op at initialisation; with live kernels the layer must stay E(3)-
+    consistent (the RBF is a function of the invariant distance), keep
+    padded nodes inert (safe-sqrt under the mask), agree between the dense
+    and sparse paths, and backprop finitely through the masked sqrt.
+    """
+
+    def _setup(self, rng, n=7, pad_last=True):
+        h = jnp.asarray(rng.normal(size=(1, n, 8)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(1, n, 3)), jnp.float32)
+        mask = np.ones((1, n), np.float32)
+        if pad_last:
+            mask[0, -1] = 0
+        mask = jnp.asarray(mask)
+        pm = dense_pair_mask(mask)
+        kw = dict(m_hidden=32, m_out=16, x_hidden=32, h_hidden=32,
+                  h_out=8, zero_init_x=False)
+        return h, x, mask, pm, kw
+
+    def _live_params(self, layer, h, x, pm, rng):
+        params = layer.init(jax.random.key(0), h, x, pm)
+        p = params["params"]
+        for name in ("rbf_m", "rbf_x"):
+            k = p[name]["kernel"]
+            p[name]["kernel"] = jnp.asarray(
+                rng.normal(size=k.shape) * 0.3, k.dtype)
+        return params
+
+    def test_exact_noop_at_init(self, rng):
+        h, x, mask, pm, kw = self._setup(rng)
+        plain = EGCL(edge_rbf=0, **kw)
+        rbf = EGCL(edge_rbf=6, **kw)
+        p_plain = plain.init(jax.random.key(0), h, x, pm)
+        p_rbf = rbf.init(jax.random.key(0), h, x, pm)
+        h_p, x_p = plain.apply(p_plain, h, x, pm)
+        h_r, x_r = rbf.apply(p_rbf, h, x, pm)
+        np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_r))
+        np.testing.assert_array_equal(np.asarray(x_p), np.asarray(x_r))
+
+    def test_live_kernels_change_output_equivariantly(self, rng):
+        h, x, mask, pm, kw = self._setup(rng)
+        layer = EGCL(edge_rbf=6, **kw)
+        params = self._live_params(layer, h, x, pm, rng)
+        h1, x1 = layer.apply(params, h, x, pm)
+        plain = EGCL(edge_rbf=0, **kw)
+        p_plain = plain.init(jax.random.key(0), h, x, pm)
+        h_p, x_p = plain.apply(p_plain, h, x, pm)
+        assert not np.allclose(np.asarray(h1), np.asarray(h_p))
+        assert not np.allclose(np.asarray(x1), np.asarray(x_p))
+        # E(3): h invariant, x equivariant (RBF depends on distance only)
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        q = jnp.asarray(q, jnp.float32)
+        t = jnp.asarray([0.5, -1.0, 2.0], jnp.float32)
+        h2, x2 = layer.apply(params, h, x @ q.T + t, pm)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(x1) @ q.T + t, np.asarray(x2),
+                                   rtol=5e-4, atol=5e-4)
+        # padded node stays inert and cannot influence real nodes
+        h_z = h.at[0, -1].set(100.0)
+        x_z = x.at[0, -1].set(50.0)
+        h3, x3 = layer.apply(params, h_z, x_z, pm)
+        np.testing.assert_allclose(np.asarray(h1)[0, :-1],
+                                   np.asarray(h3)[0, :-1],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x1)[0, :-1],
+                                   np.asarray(x3)[0, :-1],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_dense_sparse_parity(self, rng):
+        from diffusion_model_tpu.ops.edges import knn_edges
+
+        h, x, mask, pm, kw = self._setup(rng)
+        layer = EGCL(edge_rbf=6, **kw)
+        params = self._live_params(layer, h, x, pm, rng)
+        idx, em = knn_edges(x, mask, 6)  # K = n-1: same edge set as dense
+        h_d, x_d = layer.apply(params, h, x, pm)
+        h_s, x_s = layer.apply(params, h, x, (idx, em))
+        np.testing.assert_allclose(np.asarray(h_d), np.asarray(h_s),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_s),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_finite_through_masked_sqrt(self, rng):
+        """The RBF takes sqrt(d2) where padded/diagonal pairs sit at
+        d2 == 0 (infinite sqrt-gradient); the safe-where guard must keep
+        the backward pass finite — including grads w.r.t. positions."""
+        h, x, mask, pm, kw = self._setup(rng)
+        layer = EGCL(edge_rbf=6, **kw)
+        params = self._live_params(layer, h, x, pm, rng)
+
+        def loss(p, xx):
+            h_o, x_o = layer.apply(p, h, xx, pm)
+            return jnp.sum(h_o ** 2) + jnp.sum(x_o ** 2)
+
+        g_p, g_x = jax.grad(loss, argnums=(0, 1))(params, x)
+        assert all(bool(jnp.all(jnp.isfinite(v)))
+                   for v in jax.tree.leaves(g_p))
+        assert bool(jnp.all(jnp.isfinite(g_x)))
+
+    def test_fast_and_ring_paths_reject(self, rng):
+        from diffusion_model_tpu.nn.fast_apply import fast_denoise_fn
+
+        cfg = Config(n_max=8, L=2, m_hidden_size=32, h_hidden_size=32,
+                     x_hidden_size=32, m_size=16, spectrum_size=16,
+                     compressed_spectrum_size=8, compressor_hidden_dim=(8,),
+                     edge_rbf=6)
+        with pytest.raises(NotImplementedError, match="edge_rbf"):
+            fast_denoise_fn(cfg, {"params": {}})
