@@ -101,6 +101,16 @@ def main():
                         "mid-noise band (config.t_bias_frac) — targets "
                         "the structure-formation underfit, docs/quality/"
                         "size512net_per_t_profile.json")
+    p.add_argument("--optimizer", type=str, default="RAdamScheduleFree",
+                   choices=("RAdamScheduleFree", "Adam", "AdamW"),
+                   help="RAdamScheduleFree is the reference default; EMA "
+                        "requires Adam/AdamW (schedule-free's own "
+                        "averaging would shadow it, train/trainer.py)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="parameter EMA decay (config.ema_decay, e.g. "
+                        "0.999); evaluation/sampling uses the average — "
+                        "the still-unmeasured candidate lever for the "
+                        "bond-peak blur (docs/ROADMAP.md round-4 list)")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--max_grad_norm", type=float, default=1.0,
                    help="global-norm gradient clip. Network-data runs at "
@@ -166,7 +176,8 @@ def main():
         batch_size=args.batch_size,
         num_diffusion_timestep=args.timesteps, num_epochs=args.epochs,
         lr=args.lr, max_grad_norm=args.max_grad_norm,
-        optimizer="RAdamScheduleFree", compute_dtype="bfloat16",
+        optimizer=args.optimizer, ema_decay=args.ema_decay,
+        compute_dtype="bfloat16",
         gen_num_per_spectrum=2,
         global_radius_feature=args.global_radius,
         virtual_node=args.virtual_node,
@@ -259,6 +270,9 @@ def main():
                      f"_{args.generator}"
                      f"_lr{args.lr:g}_clip{args.max_grad_norm:g}"
                      + ("_hres" if args.h_residual else "")
+                     + (f"_{args.optimizer}" if args.optimizer
+                        != "RAdamScheduleFree" else "")
+                     + (f"_ema{args.ema_decay:g}" if args.ema_decay else "")
                      + (f"_rbf{args.edge_rbf}" if args.edge_rbf else "")
                      + (f"_tb{args.t_bias_frac:g}" if args.t_bias_frac else "")
                      + ("_gr" if args.global_radius else "")
