@@ -77,7 +77,12 @@ def main(argv=None):
     bonds_orig = np.where(rejected2, np.nan, bonds_orig)
     bonds_gen = np.where(rejected2, np.nan, bonds_gen)
     ax.plot(bonds_orig, bonds_gen, "o", alpha=0.4)
-    lims = [0, np.nanmax([np.nanmax(bonds_orig), np.nanmax(bonds_gen)]) * 1.1]
+    # empty-bond guard: with no valid 2-coordinated samples every bond is
+    # NaN and nanmax would emit an All-NaN-axis RuntimeWarning — fall back
+    # to a fixed 2 A axis so the (empty) figure still renders cleanly
+    finite_bonds = np.concatenate([bonds_orig, bonds_gen])
+    finite_bonds = finite_bonds[np.isfinite(finite_bonds)]
+    lims = [0, (finite_bonds.max() * 1.1) if finite_bonds.size else 2.0]
     ax.plot(lims, lims, "-", color="red", alpha=0.5)
     ax.set_xlabel("original bond length [A]")
     ax.set_ylabel("generated bond length [A]")

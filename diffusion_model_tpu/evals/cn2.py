@@ -70,9 +70,16 @@ def r2score(a, b) -> float:
     x = np.asarray(a, np.float64)
     y = np.asarray(b, np.float64)
     n = len(x)
+    if n == 0:
+        # empty input (e.g. a run with no valid CN2 conditions): the score
+        # is undefined — return NaN explicitly instead of warning on 0/0
+        return float("nan")
     mean_x = x.sum() / n
     t_xx = np.sum((x - mean_x) ** 2)
     t_yy = np.sum((y - y.sum() / n) ** 2)
+    if t_xx == 0.0 or t_yy == 0.0:
+        # degenerate (constant) inputs: slope / variance ratio undefined
+        return float("nan")
     t_xy = np.sum((x - mean_x) * (y - y.sum() / n))
     slope = t_xy / t_xx
     intercept = y.sum() / n - slope * x.sum() / n

@@ -276,6 +276,16 @@ class EGCL(nn.Module):
 
         rbf_mods = None
         if self.edge_rbf:
+            # degenerate configs: num=1 makes the width rmax/(num-1) a
+            # ZeroDivisionError at trace time; rmax <= 0 a zero/negative
+            # width (NaN features). Reject both with a readable error.
+            if self.edge_rbf < 2:
+                raise ValueError(
+                    f"edge_rbf={self.edge_rbf}: need >= 2 Gaussian centers "
+                    "(width = rmax/(num-1)); use 0 to disable")
+            if not self.edge_rbf_rmax > 0:
+                raise ValueError(
+                    f"edge_rbf_rmax={self.edge_rbf_rmax} must be > 0")
             rbf_mods = (
                 nn.Dense(self.m_hidden, use_bias=False, dtype=dt,
                          kernel_init=nn.initializers.zeros, name="rbf_m"),

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from diffusion_model_tpu.config import Config
+from diffusion_model_tpu.nn.egnn import _rbf_features
 from diffusion_model_tpu.ops.com import remove_mean
 
 
@@ -36,18 +37,80 @@ def _silu(v):
     return v * jax.nn.sigmoid(v)
 
 
+def _psum_masked_mean(v, mask, axis):
+    """Masked mean over the FULL (mesh-sharded) node axis.
+
+    ``v [Nb, D]`` and ``mask [Nb]`` are the resident block; the sums are
+    psum-reduced so every device holds the global mean — the collective
+    counterpart of ops/com.masked_mean for a node-sharded graph.
+    """
+    m = mask.astype(v.dtype)[:, None]
+    total = jax.lax.psum(jnp.sum(v * m, axis=0), axis)
+    count = jax.lax.psum(jnp.sum(m), axis)
+    return total / jnp.maximum(count, 1.0), count
+
+
+def _vn_ring(lp, h_i, x_i, mask_i, axis, dt, hdim):
+    """Virtual-node global channel over the sharded node axis.
+
+    The ring counterpart of nn/egnn.py EGCL._virtual_channel: the pooled
+    transform (a masked mean over ALL nodes) becomes one psum per layer —
+    exactly the collective the ring already schedules for the CoM epilogue.
+    Returns ``(vn_msg [Nb, m_out] dt, x_vn [Nb, 3] f32)``.
+    """
+    m3_f = mask_i[:, None].astype(jnp.float32)
+    h_m = (h_i * mask_i[:, None].astype(h_i.dtype)).astype(dt)
+    x_f = x_i.astype(jnp.float32)
+    x_v, _ = _psum_masked_mean(x_f, mask_i, axis)         # [3] global CoM
+    diff = (x_f - x_v[None, :]) * m3_f                    # [Nb, 3]
+    r2_f = jnp.sum(diff * diff, axis=-1, keepdims=True)   # [Nb, 1]
+    r2 = r2_f.astype(dt)
+
+    # gather: nodes -> pooled virtual feature (masked mean of a transform)
+    u = _silu(_dense(lp["vnode_in"], jnp.concatenate([h_m, r2], -1), dt))
+    u = u * m3_f.astype(dt)
+    mean_u, _ = _psum_masked_mean(u, mask_i.astype(u.dtype), axis)
+    h_v = _silu(_dense(lp["vnode_pool"], mean_u[None, :], dt))  # [1, V]
+    vdim = h_v.shape[-1]
+
+    # scatter: fused [H+V+1, F] kernels (nn/egnn.py _GlobalFirstLayer
+    # layout) — the graph-constant h_v block multiplies once and
+    # broadcast-adds
+    def global_first(p):
+        k = p["kernel"].astype(dt)
+        return (h_m @ k[:hdim] + h_v @ k[hdim:hdim + vdim]
+                + r2 * k[hdim + vdim] + p["bias"].astype(dt))
+
+    vn_msg = global_first(lp["vnode_out"]) * m3_f.astype(dt)
+    s_v = (
+        jnp.sum(_silu(global_first(lp["vnode_x"]))
+                * lp["vnode_x_head"]["kernel"][:, 0].astype(dt),
+                axis=-1, keepdims=True)
+        + lp["vnode_x_head"]["bias"].astype(dt)
+    )
+    norm = jnp.sqrt(jnp.where(m3_f > 0, jnp.maximum(r2_f, 1e-12), 1.0))
+    x_vn = diff * (s_v.astype(jnp.float32) / (norm + 1.0)) * m3_f
+    return vn_msg, x_vn
+
+
 def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim,
-               h_residual=False):
+               h_residual=False, rbf=None, vn=None):
     """One EGCL over ring-rotated source blocks.
 
     Args (per device):
       h_i, x_i, mask_i: resident target block ``[Nb, ...]``.
       idx_i: ``[Nb]`` global node indices of the resident block.
+      rbf: ``(num, rmax)`` to inject Gaussian radial-basis edge features
+        through the zero-init ``rbf_m`` / ``rbf_x`` kernels (config.edge_rbf).
+      vn: precomputed virtual-node channel ``(vn_msg, x_vn)`` from
+        :func:`_vn_ring` (config.virtual_node).
     """
     m0k = lp["mlp_m_dense0"]["kernel"].astype(dt)
     m0b = lp["mlp_m_dense0"]["bias"].astype(dt)
     x0k = lp["mlp_x_dense0"]["kernel"].astype(dt)
     x0b = lp["mlp_x_dense0"]["bias"].astype(dt)
+    rbf_m_k = lp["rbf_m"]["kernel"].astype(dt) if rbf else None
+    rbf_x_k = lp["rbf_x"]["kernel"].astype(dt) if rbf else None
 
     h_c = h_i.astype(dt)
     # target-side projections (bias folded into the i-part)
@@ -81,12 +144,17 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim,
         diff = (x_i.astype(jnp.float32)[:, None, :]
                 - x_r.astype(jnp.float32)[None, :, :])
         d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
-        pm = (
-            mask_i[:, None, None] * mask_r[None, :, None]
-            * (idx_i[:, None, None] != idx_r[None, :, None])
-        ).astype(dt)
+        pm_b = (
+            (mask_i[:, None, None] * mask_r[None, :, None]) > 0
+        ) & (idx_i[:, None, None] != idx_r[None, :, None])
+        pm = pm_b.astype(dt)
 
         pre_m = am_i[:, None, :] + bm_r[None, :, :] + d2.astype(dt) * w_dm
+        pre_x = ax_i[:, None, :] + bx_r[None, :, :] + d2.astype(dt) * w_dx
+        if rbf is not None:
+            feats = _rbf_features(d2, pm_b, *rbf).astype(dt)
+            pre_m = pre_m + feats @ rbf_m_k
+            pre_x = pre_x + feats @ rbf_x_k
         m = _silu(_dense(lp["mlp_m_dense1"], _silu(pre_m), dt))
         att = jax.nn.sigmoid(
             jnp.sum(m * lp["attention_dense"]["kernel"][:, 0].astype(dt),
@@ -95,7 +163,6 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim,
         )
         m_sum = m_sum + jnp.sum(m * att * pm, axis=1)
 
-        pre_x = ax_i[:, None, :] + bx_r[None, :, :] + d2.astype(dt) * w_dx
         u = _silu(_dense(lp["mlp_x_dense1"], _silu(pre_x), dt))
         s = (
             jnp.sum(u * lp["mlp_x_dense2"]["kernel"][:, 0].astype(dt),
@@ -117,6 +184,8 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim,
         step, carry, None, length=ndev
     )
 
+    if vn is not None:
+        m_sum = m_sum + vn[0].astype(m_sum.dtype)
     h_new = _dense(
         lp["mlp_h_dense1"],
         _silu(_dense(lp["mlp_h_dense0"],
@@ -126,6 +195,8 @@ def _egcl_ring(lp, h_i, x_i, mask_i, idx_i, n_total, axis, dt, hdim,
     if h_residual and h_new.shape[-1] == h_c.shape[-1]:
         h_new = h_new + h_c
     x_new = x_i.astype(jnp.float32) + upd
+    if vn is not None:
+        x_new = x_new + vn[1]
     return h_new.astype(h_i.dtype), x_new.astype(x_i.dtype)
 
 
@@ -144,20 +215,6 @@ def ring_denoise_apply(cfg: Config, mesh: Mesh, axis: str = "data"):
     -analogue *training* path for cells too big for one chip's pair grid
     (SURVEY.md §2.6).
     """
-    if cfg.global_radius_feature:
-        raise NotImplementedError(
-            "global_radius_feature is not wired into the ring path — the "
-            "masked-CoM radius needs a psum prologue; use the XLA path"
-        )
-    if cfg.virtual_node:
-        raise NotImplementedError(
-            "virtual_node is not wired into the ring path — the pooled "
-            "global feature needs a psum per layer; use the XLA path"
-        )
-    if cfg.edge_rbf:
-        raise NotImplementedError(
-            "edge_rbf is not wired into the ring path — use the XLA path"
-        )
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     hdim = cfg.h_size
     ndev = mesh.devices.size
@@ -183,15 +240,30 @@ def ring_denoise_apply(cfg: Config, mesh: Mesh, axis: str = "data"):
                 feats.append(spectrum.astype(dt))
         if cfg.give_exO:
             feats.append(exo.astype(dt))
+        if cfg.global_radius_feature:
+            # psum prologue: the gated log-radius envelope feature
+            # (nn/denoiser.py) needs the masked CoM of the FULL sharded
+            # node set. Same math, one collective.
+            m3 = mask[:, None].astype(pos.dtype)
+            com, _ = _psum_masked_mean(pos, mask.astype(pos.dtype), axis)
+            d2g = jnp.sum((pos - com[None, :]) ** 2, axis=-1,
+                          keepdims=True)
+            r = jnp.sqrt(jnp.maximum(d2g, 1e-12))
+            gate = p["radius_feature_gate"].astype(pos.dtype)
+            feats.append((jnp.log1p(r) * m3 * gate).astype(dt))
         feats.append(t_norm.astype(dt))
         h = jnp.concatenate(feats, axis=-1)
 
+        rbf = (cfg.edge_rbf, cfg.edge_rbf_rmax) if cfg.edge_rbf else None
         x = pos
         for l in range(cfg.L):
+            lp = p["egnn"][f"egcl_{l}"]
+            vn = (_vn_ring(lp, h, x, mask, axis, dt, hdim)
+                  if cfg.virtual_node else None)
             h, x = _egcl_ring(
-                p["egnn"][f"egcl_{l}"], h, x, mask, idx,
+                lp, h, x, mask, idx,
                 n_total=None, axis=axis, dt=dt, hdim=hdim,
-                h_residual=cfg.h_residual,
+                h_residual=cfg.h_residual, rbf=rbf, vn=vn,
             )
 
         # CoM over the full (sharded) node set

@@ -387,23 +387,21 @@ class Trainer:
 
         Returns ``step(state, key, batch) -> (state, metrics)``.
         """
-        if self.cfg.noise_schedule != "predefined":
+        if self.cfg.kabsch_loss:
+            # the kabsch variant differentiates through the FULL T-step
+            # reverse chain per train step (ref train_2024_11.py:204-237)
+            # — a small-cluster (<=10 atom) objective; at ring scale
+            # (512+-atom cells) that is 1000 sharded EGNN forwards per
+            # optimizer step. Silently skipping the coordinate loss would
+            # train the wrong objective, so reject loudly.
             raise NotImplementedError(
-                "ring training currently supports the predefined schedule"
-            )
-        if self.cfg.cond_dropout_prob > 0 or self.cfg.kabsch_loss:
-            # the ring loss below is the plain eps loss; silently accepting
-            # these configs would train no unconditional score (CFG) /
-            # skip the coordinate loss without any error
-            raise NotImplementedError(
-                "ring training supports the plain eps loss only "
-                "(cond_dropout_prob and kabsch_loss are not routed "
-                "through the ring)"
+                "kabsch_loss is not routed through the ring (full-chain "
+                "reverse diffusion per step is a small-cluster objective; "
+                "use the dense path for <=10-atom kabsch training)"
             )
         from diffusion_model_tpu.parallel.ring import ring_denoise_apply
 
         cfg = self.cfg
-        schedule = self._static_schedule
         apply_fn = ring_denoise_apply(cfg, mesh, axis)
 
         def loss_fn(params, key, batch: GraphBatch):
@@ -415,9 +413,13 @@ class Trainer:
                     "ring training takes exactly one node-sharded graph "
                     f"per step (got batch_size={batch.mask.shape[0]})"
                 )
+            # learned schedule: gamma is tiny and runs replicated outside
+            # shard_map; its params get gradients through diffuse_batch
+            # and the boundary terms exactly like the dense path
+            schedule = self.schedule_for(params)
             # same stream layout as _loss so ring and dense train steps
             # draw identical noise from the same key (parity-testable)
-            k_diff, _, _ = jax.random.split(key, 3)
+            k_diff, _, k_drop = jax.random.split(key, 3)
             pos_t, h_t, t, eps_pos, eps_h = diffuse_batch(
                 schedule, cfg, k_diff, batch
             )
@@ -426,14 +428,28 @@ class Trainer:
                 t.astype(jnp.float32)[:, None, None]
                 / cfg.num_diffusion_timestep
             ) * jnp.ones((b, n, 1)) * batch.mask[..., None]
+            spectrum = batch.spectrum
+            if cfg.cond_dropout_prob > 0:
+                # classifier-free guidance: same bernoulli stream as the
+                # dense loss — the single resident graph drops its
+                # conditioning with prob p so the unconditional score trains
+                keep = jax.random.bernoulli(
+                    k_drop, 1.0 - cfg.cond_dropout_prob,
+                    (batch.batch_size,),
+                )
+                spectrum = spectrum * keep[:, None, None].astype(
+                    spectrum.dtype)
             eps_x_pred, eps_h_pred = apply_fn(
-                params["denoiser"], h_t[0], pos_t[0], batch.spectrum[0],
+                params["denoiser"], h_t[0], pos_t[0], spectrum[0],
                 batch.exo[0], t_norm[0], batch.mask[0],
             )
             loss, sum_sq, num_nodes = epsilon_loss(
                 eps_x_pred[None], eps_h_pred[None], eps_pos, eps_h,
                 batch.mask, include_h=cfg.diffuse_species,
             )
+            if self.gamma is not None and cfg.gamma_boundary_weight > 0:
+                loss = loss + cfg.gamma_boundary_weight * \
+                    self._gamma_boundary(schedule, batch)
             return loss, (sum_sq, num_nodes)
 
         def step(state: TrainState, key, batch: GraphBatch):

@@ -746,7 +746,9 @@ class TestEdgeRBF:
                    for v in jax.tree.leaves(g_p))
         assert bool(jnp.all(jnp.isfinite(g_x)))
 
-    def test_fast_and_ring_paths_reject(self, rng):
+    def test_fast_path_rejects(self, rng):
+        # the ring path now SUPPORTS edge_rbf/virtual_node (parity-tested
+        # in tests/test_ring.py); only the Pallas fast path still guards
         from diffusion_model_tpu.nn.fast_apply import fast_denoise_fn
 
         cfg = Config(n_max=8, L=2, m_hidden_size=32, h_hidden_size=32,
@@ -755,3 +757,14 @@ class TestEdgeRBF:
                      edge_rbf=6)
         with pytest.raises(NotImplementedError, match="edge_rbf"):
             fast_denoise_fn(cfg, {"params": {}})
+
+    def test_degenerate_rbf_config_rejected(self, rng):
+        """edge_rbf=1 would divide by zero in the RBF width; rmax <= 0
+        would produce zero/negative widths (NaN features) — both must
+        raise a descriptive error instead (ADVICE r3)."""
+        h, x, mask, pm, kw = self._setup(rng)
+        with pytest.raises(ValueError, match="edge_rbf=1"):
+            EGCL(edge_rbf=1, **kw).init(jax.random.key(0), h, x, pm)
+        with pytest.raises(ValueError, match="edge_rbf_rmax"):
+            EGCL(edge_rbf=4, edge_rbf_rmax=0.0, **kw).init(
+                jax.random.key(0), h, x, pm)
