@@ -122,3 +122,49 @@ class TestCNCLI:
         cn.main(["--synthetic", "64", "--epochs", "60"])
         out = capsys.readouterr().out
         assert "test MAE" in out
+
+    def test_cn_predictor_f1_bar(self):
+        """Numeric pin for nn/cn_mlp.py (ref CN.py:79-137 semantics:
+        spectrum(200) -> [100,100,50,25] -> 1 regression, macro-F1 on the
+        rounded prediction): a seeded 400-epoch train on synthetic spectra
+        (whose peak positions encode CN, data/synthetic.py) must recover
+        the atom count nearly perfectly — measured 1.00 F1 / 0.05 MAE at
+        this budget, asserted with slack."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from diffusion_model_tpu.cli.cn import graphs_to_xy, macro_f1
+        from diffusion_model_tpu.data.split import split_dataset
+        from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
+        from diffusion_model_tpu.nn import CNPredictor
+
+        graphs = synthetic_sio2_dataset(2024, 256, 16, spectrum_size=200)
+        train_g, _, test_g = split_dataset(graphs, 2024)
+        x_tr, y_tr = graphs_to_xy(train_g)
+        x_te, y_te = graphs_to_xy(test_g)
+
+        model = CNPredictor()
+        # architecture pin: the reference's hidden stack
+        assert tuple(model.hidden_dims) == (100, 100, 50, 25)
+        params = model.init(jax.random.key(2024), x_tr[:1])
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(
+                lambda p: jnp.mean((model.apply(p, x_tr) - y_tr) ** 2)
+            )(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(400):
+            params, opt_state, _ = step(params, opt_state)
+
+        pred = np.asarray(model.apply(params, x_te))[:, 0]
+        truth = np.asarray(y_te)[:, 0]
+        mae = float(np.mean(np.abs(pred - truth)))
+        f1 = macro_f1(truth.astype(int), np.round(pred).astype(int))
+        assert mae <= 0.25, mae
+        assert f1 >= 0.9, f1
