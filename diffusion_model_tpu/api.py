@@ -250,7 +250,10 @@ def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
     g = gen_num_per_spectrum or cfg.gen_num_per_spectrum
     key = key if key is not None else jax.random.key(cfg.seed)
     params = state.eval_params(cfg)
-    if cfg.use_pallas and not cfg.neighbor_k:
+    if cfg.use_pallas:
+        # dense pair-grid kernel for fully-connected graphs, fused kNN
+        # kernel for neighbor_k topologies (nn/fast_apply.py routes on the
+        # edge representation the sampler passes per step)
         from diffusion_model_tpu.nn.fast_apply import fast_denoise_fn
 
         denoise_fn = fast_denoise_fn(cfg, params["denoiser"])

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from diffusion_model_tpu.config import Config
 from diffusion_model_tpu.ops.com import remove_mean
 from diffusion_model_tpu.ops.egcl_pallas import egcl_pair_edges
+from diffusion_model_tpu.ops.egcl_pallas_sparse import egcl_knn_edges
 
 
 def _dense(p, v):
@@ -94,7 +95,7 @@ def fast_denoise_fn(cfg: Config, denoiser_params,
         })
     comp = p.get("spectrum_compressor")
 
-    def fn(species_ch, pos, spectrum, exo, t_norm, mask, pair_mask):
+    def fn(species_ch, pos, spectrum, exo, t_norm, mask, edges):
         feats = [species_ch]
         if cfg.conditional:
             if cfg.to_compress_spectrum:
@@ -111,16 +112,31 @@ def fast_denoise_fn(cfg: Config, denoiser_params,
         for lp in layers:
             h_c = h.astype(dt)
             am_i = h_c @ lp["m_wi"] + lp["m_b"]
-            am_j = h_c @ lp["m_wj"]
             ax_i = h_c @ lp["x_wi"] + lp["x_b"]
-            ax_j = h_c @ lp["x_wj"]
-            m_sum, x_new = egcl_pair_edges(
-                am_i, am_j, ax_i, ax_j, x.astype(jnp.float32),
-                mask3.astype(jnp.float32),
-                lp["m_wd"], lp["x_wd"], lp["w2m"], lp["b2m"], lp["wa"],
-                lp["ba"], lp["w2x"], lp["b2x"], lp["wx3"], lp["bx3"],
-                8, interpret,  # positional: custom_vjp nondiff args
-            )
+            if isinstance(edges, tuple):
+                # fixed-degree kNN topology: fused sparse kernel
+                # (ops/egcl_pallas_sparse.py) — the j-projections run
+                # in-kernel, so only h_c and the small gathered features
+                # cross HBM
+                idx, em = edges
+                m_sum, x_new = egcl_knn_edges(
+                    am_i, ax_i, h_c, x.astype(jnp.float32), idx, em,
+                    lp["m_wj"], lp["x_wj"], lp["m_wd"], lp["x_wd"],
+                    lp["w2m"], lp["b2m"], lp["wa"], lp["ba"], lp["w2x"],
+                    lp["b2x"], lp["wx3"], lp["bx3"],
+                    8, interpret,  # positional: custom_vjp nondiff args
+                )
+            else:
+                am_j = h_c @ lp["m_wj"]
+                ax_j = h_c @ lp["x_wj"]
+                m_sum, x_new = egcl_pair_edges(
+                    am_i, am_j, ax_i, ax_j, x.astype(jnp.float32),
+                    mask3.astype(jnp.float32),
+                    lp["m_wd"], lp["x_wd"], lp["w2m"], lp["b2m"],
+                    lp["wa"], lp["ba"], lp["w2x"], lp["b2x"], lp["wx3"],
+                    lp["bx3"],
+                    8, interpret,
+                )
             cat = jnp.concatenate([h_c, m_sum.astype(dt)], axis=-1)
             h0 = jax.tree.map(lambda a: a.astype(dt), lp["h0"])
             h1 = jax.tree.map(lambda a: a.astype(dt), lp["h1"])

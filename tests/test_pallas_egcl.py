@@ -67,6 +67,27 @@ class TestPallasEGCL:
         np.testing.assert_allclose(np.asarray(eps_x)[mask == 0], 0.0)
         np.testing.assert_allclose(np.asarray(eps_h)[mask == 0], 0.0)
 
+    def test_knn_topology_matches_xla_sparse_path(self):
+        """use_pallas + neighbor_k routes each layer through the fused kNN
+        kernel (ops/egcl_pallas_sparse.py) — must match the XLA sparse
+        path of the same params (the 512-atom model class)."""
+        from diffusion_model_tpu.ops.edges import knn_edges
+
+        cfg, model, params, args = make_setup(zero_init=False, n_max=24,
+                                              b=2)
+        cfg = cfg.replace(neighbor_k=6)
+        species_ch, pos, spectrum, exo, t_norm, mask, _ = args
+        edges = knn_edges(pos, mask, cfg.neighbor_k)
+        want_x, want_h = model.apply(params, species_ch, pos, spectrum,
+                                     exo, t_norm, mask, edges)
+        fast = fast_denoise_fn(cfg, params, interpret=True)
+        got_x, got_h = fast(species_ch, pos, spectrum, exo, t_norm, mask,
+                            edges)
+        np.testing.assert_allclose(np.asarray(want_x), np.asarray(got_x),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(want_h), np.asarray(got_h),
+                                   rtol=5e-4, atol=5e-5)
+
 
 class TestPallasSamplerIntegration:
     @pytest.mark.slow
