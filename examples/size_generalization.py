@@ -121,6 +121,10 @@ def main():
                         "step (f32 too — not a TPU numerics issue); "
                         "lr*clip<=2e-3 is stable "
                         "(benchmarks/probe_network_nan.py)")
+    p.add_argument("--checkpoint_every", type=int, default=500,
+                   help="checkpoint cadence in epochs; lower it when the "
+                        "remote tunnel is wedging often (a watchdog kill "
+                        "loses the epochs since the last checkpoint)")
     p.add_argument("--cell_cache", type=str, default="runs/cell_cache",
                    help="disk-memoise generated cells here (atomic npz "
                         "per cell) so --resume relaunches skip the ~6 min "
@@ -186,7 +190,7 @@ def main():
         remat_egcl=args.remat,
         edge_rbf=args.edge_rbf,
         t_bias_frac=args.t_bias_frac,
-        checkpoint_every=500,  # long 512-atom runs survive interruption
+        checkpoint_every=args.checkpoint_every,  # long runs survive kills
     )
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(cfg.seed)
