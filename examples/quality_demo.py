@@ -45,6 +45,10 @@ def main():
                    help="opt-in residual node update (config.h_residual)")
     p.add_argument("--tag", type=str, default=None,
                    help="config label recorded in the summary JSON")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in out_dir "
+                        "(api.train resume) — lets a watchdog relaunch a "
+                        "wedged TPU run without losing trained epochs")
     args = p.parse_args()
 
     from diffusion_model_tpu import api
@@ -82,7 +86,7 @@ def main():
 
     t0 = time.time()
     trainer, state, (train_set, val_set, test_set) = api.train(
-        cfg, graphs, args.out_dir, logger
+        cfg, graphs, args.out_dir, logger, resume=args.resume
     )
     train_s = time.time() - t0
     print(f"trained {args.epochs} epochs in {train_s:.0f}s", flush=True)
