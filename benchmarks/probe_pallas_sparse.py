@@ -96,8 +96,12 @@ def timed_scan(fn, h, x, idx, em, w):
     @jax.jit
     def run(x0):
         def body(x, _):
-            m_sum, x_new = fn(h, x0, idx, em, w)
-            # tie x_new into the carry so iterations can't collapse
+            # the CARRY feeds the computation — with loop-invariant
+            # operands XLA hoists the whole call out of the scan and the
+            # "per-iteration" time measures one call + 50 adds (the first
+            # version of this probe made exactly that mistake: 0.76 ms
+            # for a 343-GFLOP iteration = 450 TFLOP/s on a 197-peak chip)
+            m_sum, x_new = fn(h, x, idx, em, w)
             return x + 1e-6 * x_new, jnp.sum(m_sum)
         xf, outs = jax.lax.scan(body, x0, None, length=ITERS)
         return jnp.sum(xf) + jnp.sum(outs)
