@@ -38,6 +38,13 @@ def main():
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--noise_schedule", type=str, default="predefined",
                    choices=("predefined", "learned"))
+    p.add_argument("--gamma_init", type=str, default="reference",
+                   choices=("reference", "polynomial"),
+                   help="learned-schedule gamma init; 'polynomial' "
+                        "(pre-fit to this config's schedule) is the "
+                        "measured-better recipe (docs/quality/"
+                        "learned_origin_test.json: 0.860/0.928 vs "
+                        "0.829/0.900 rdf_cos)")
     p.add_argument("--n_max", type=int, default=8)
     p.add_argument("--shells", type=int, default=1,
                    help="1 = CN Si neighbours only; 2 = + bridging O shell")
@@ -76,6 +83,7 @@ def main():
         optimizer="RAdamScheduleFree",
         compute_dtype="bfloat16",
         noise_schedule=args.noise_schedule,
+        gamma_init=args.gamma_init,
         h_residual=args.h_residual,
     )
     print(f"devices: {jax.devices()}", flush=True)
