@@ -32,6 +32,15 @@ def main(argv=None):
         results["generated_pos"], results["mask"],
     )
     values = np.asarray([r[args.metric] for r in rows])
+    if values.size == 0:
+        # e.g. every sample rejected on an undertrained run: there is
+        # nothing to histogram/panel — report explicitly instead of
+        # crashing on the empty argsort (same class of guard as the CN2
+        # empty-bond case)
+        logger.log({f"rdf_{args.metric}_mean": float("nan"),
+                    f"rdf_{args.metric}_std": float("nan")})
+        print(f"rdf {args.metric}: no accepted samples to evaluate")
+        return
 
     import matplotlib
 

@@ -9,14 +9,19 @@ crystallography:
      edge files — one sample per excited-O site, spectra keyed to each
      site's REAL local geometry (Si-O-Si angles 137-180 deg across coesite
      sites, so conditioning carries genuine signal);
-  2. ``cli.make_dataset --range 2NN`` ingestion (cell parser, spline
-     fitter, shell extraction — ref make_dataset.py:60-143);
-  3. ``cli.main --mode train_and_generate`` on the resulting dataset;
-  4. evaluate: RDF cosine + shell-agnostic CN2 angle parity
-     (``evaluate_rdf`` / ``evaluate_cn2`` CLIs over the run dir).
+  2. ``cli.make_dataset`` ingestion (cell parser, spline fitter, shell
+     extraction — ref make_dataset.py:60-143) at TWO ranges:
+     ``--range 2NN`` (9-atom graphs: exO + 2 Si + 6 O) for the RDF /
+     species readouts, and ``--range 1NN`` (3-atom CN2 graphs) for the
+     Si-exO-Si angle-parity readout (the CN2 evaluator is defined on 3- or
+     5-atom conditions, evals/cn2._cn2_sample_geometry);
+  3. ``cli.main --mode train_and_generate`` on each dataset with the
+     measured quality-run hyperparameters (lr 2e-4, batched — the
+     reference defaults lr 1e-5 / batch 1 underfit a 46-condition corpus);
+  4. evaluate: RDF cosine on the 2NN run; shell-agnostic CN2 angle parity
+     + its 1-NN spectrum-space information ceiling on the 1NN run.
 
-Writes ``docs/quality/real_data_e2e.json`` with the corpus manifest
-statistics and the evaluation metrics.
+Writes ``docs/quality/real_data_e2e.json``.
 """
 
 import argparse
@@ -28,55 +33,101 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_range(nn_range, corpus, work_dir, epochs, overrides):
+    import numpy as np
+    import yaml
+
+    from diffusion_model_tpu.cli import main as cli_main
+    from diffusion_model_tpu.cli import make_dataset
+
+    ds_dir = os.path.join(work_dir, f"dataset_{nn_range}")
+    run_dir = os.path.join(work_dir, f"run_{nn_range}")
+    make_dataset.main(["--range", nn_range, "--cell_dir_path", corpus,
+                       "--save_dir_path", ds_dir])
+    cfg_path = os.path.join(work_dir, f"config_{nn_range}.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(overrides, f)
+    cli_main.main([
+        "--mode", "train_and_generate", "--run_dir", run_dir,
+        "--dataset_path", os.path.join(ds_dir, "dataset.npz"),
+        "--num_epochs", str(epochs), "--config", cfg_path,
+    ])
+    metrics = {}
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            metrics.update(json.loads(line))
+    results = np.load(os.path.join(run_dir, "generated.npz"),
+                      allow_pickle=True)
+    return run_dir, metrics, results
+
+
 def main():
     from diffusion_model_tpu.utils import apply_env_platform
     apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--work_dir", type=str, default="runs/real_data_e2e")
-    p.add_argument("--epochs", type=int, default=800)
-    p.add_argument("--config", type=str, default=None,
-                   help="yaml config (default: full reference architecture;"
-                        " n_max auto-fits the 2NN graphs)")
+    p.add_argument("--epochs", type=int, default=1500)
+    p.add_argument("--timesteps", type=int, default=1000,
+                   help="diffusion T (reduce only for plumbing smokes)")
     p.add_argument("--out_json", type=str,
                    default="docs/quality/real_data_e2e.json")
     args = p.parse_args()
 
     import numpy as np
 
-    from diffusion_model_tpu.cli import main as cli_main
-    from diffusion_model_tpu.cli import make_dataset
     from diffusion_model_tpu.data import polymorphs
 
     corpus = os.path.join(args.work_dir, "corpus")
-    ds_dir = os.path.join(args.work_dir, "dataset")
-    run_dir = os.path.join(args.work_dir, "run")
     shutil.rmtree(args.work_dir, ignore_errors=True)
-
     manifest = polymorphs.write_corpus(corpus, seed=0)
     angles = [m[3] for m in manifest]
     print(f"corpus: {len(manifest)} samples, Si-O-Si angles "
           f"{min(angles):.1f}-{max(angles):.1f} deg", flush=True)
 
-    make_dataset.main(["--range", "2NN", "--cell_dir_path", corpus,
-                       "--save_dir_path", ds_dir])
+    # the measured quality-run hyperparameters (examples/quality_demo.py)
+    overrides = {"batch_size": 16, "lr": 2e-4,
+                 "optimizer": "RAdamScheduleFree",
+                 "num_diffusion_timestep": args.timesteps}
+    # compute_dtype stays float32: this driver runs CPU-side (the TPU is
+    # reserved for the quality queue) and bf16 is emulated ~10x slow there
 
-    cli_argv = [
-        "--mode", "train_and_generate", "--run_dir", run_dir,
-        "--dataset_path", os.path.join(ds_dir, "dataset.npz"),
-        "--num_epochs", str(args.epochs),
-    ]
-    if args.config:
-        cli_argv += ["--config", args.config]
-    cli_main.main(cli_argv)
-
-    from diffusion_model_tpu.cli import evaluate_cn2, evaluate_rdf
-    evaluate_rdf.main(["--run_dir", run_dir])
-    evaluate_cn2.main(["--run_dir", run_dir])
-
-    metrics = {}
-    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+    # --- 2NN: RDF + species readouts -------------------------------
+    run2, m2, _ = run_range("2NN", corpus, args.work_dir, args.epochs,
+                            overrides)
+    from diffusion_model_tpu.cli import evaluate_rdf
+    evaluate_rdf.main(["--run_dir", run2])
+    with open(os.path.join(run2, "metrics.jsonl")) as f:
         for line in f:
-            metrics.update(json.loads(line))
+            m2.update(json.loads(line))
+
+    # --- 1NN: CN2 angle parity + information ceiling -----------------
+    run1, m1, res1 = run_range("1NN", corpus, args.work_dir, args.epochs,
+                               overrides)
+    from diffusion_model_tpu.cli import evaluate_cn2
+    evaluate_cn2.main(["--run_dir", run1])
+    with open(os.path.join(run1, "metrics.jsonl")) as f:
+        for line in f:
+            m1.update(json.loads(line))
+
+    # 1-NN spectrum-space ceiling on the TRUE angles of the corpus
+    # (evals/baseline.py): bounds what any conditional model can extract
+    from diffusion_model_tpu.data.io import load_dataset
+    from diffusion_model_tpu.data.split import split_dataset
+    from diffusion_model_tpu.evals import nn_ceiling_r2
+    from diffusion_model_tpu.ops.angles import cn2_angle_deg
+
+    graphs = load_dataset(
+        os.path.join(args.work_dir, "dataset_1NN", "dataset.npz"))
+    tr, va, te = split_dataset(graphs, 2024)
+    ceiling = None
+    if len(tr) >= 3 and len(te) >= 3:
+        ceiling = nn_ceiling_r2(
+            np.stack([g["spectrum"][0] for g in tr]),
+            np.asarray(cn2_angle_deg(np.stack([g["pos"][:3] for g in tr]))),
+            np.stack([g["spectrum"][0] for g in te]),
+            np.asarray(cn2_angle_deg(np.stack([g["pos"][:3] for g in te]))),
+        )
+
     out = {
         "corpus": {
             "samples": len(manifest),
@@ -85,11 +136,19 @@ def main():
             "angle_deg_max": round(max(angles), 2),
         },
         "epochs": args.epochs,
-        "rdf_cos_mean": metrics.get("rdf_cos_mean"),
-        "cn2_angle_r2": metrics.get("cn2_angle_r2"),
-        "cn2_bond_r2": metrics.get("cn2_bond_r2"),
-        "final_train_loss": metrics.get("train_loss"),
-        "finite_fraction": metrics.get("finite_fraction"),
+        "train_overrides": overrides,
+        "2NN": {
+            "rdf_cos_mean": m2.get("rdf_cos_mean"),
+            "atom_type_accuracy": m2.get("atom_type_accuracy"),
+            "final_train_loss": m2.get("train_loss"),
+        },
+        "1NN": {
+            "cn2_angle_r2": m1.get("cn2_angle_r2"),
+            "cn2_bond_r2": m1.get("cn2_bond_r2"),
+            "cn2_angle_r2_nn_ceiling": ceiling,
+            "atom_type_accuracy": m1.get("atom_type_accuracy"),
+            "final_train_loss": m1.get("train_loss"),
+        },
     }
     os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
     with open(args.out_json, "w") as f:
