@@ -228,6 +228,22 @@ def load_trained(run_dir: str, cfg: Config, example: GraphBatch):
     return trainer, state
 
 
+def sampling_uses_pallas(cfg: Config) -> bool:
+    """Kernel routing for the sampler (measured decision,
+    docs/perf/pallas_sparse_check.json): the fused kNN kernel loses to XLA
+    at <=1024 atoms (per-tile grid overhead) but WINS 1.78x at 4096, where
+    XLA's sparse path goes HBM-bound on the [N,K,1024] edge intermediates.
+    Auto-enable for kNN sampling at the measured-win scale (>=4096, plain
+    EGCL only — the lever channels are not wired into the kernel);
+    ``cfg.use_pallas`` forces the fast path everywhere, including the
+    dense pair-grid kernel for fully-connected graphs."""
+    if cfg.use_pallas:
+        return True
+    return (cfg.neighbor_k > 0 and cfg.n_max >= 4096
+            and not cfg.global_radius_feature
+            and not cfg.virtual_node and not cfg.edge_rbf)
+
+
 def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
              key=None, gen_num_per_spectrum: Optional[int] = None,
              batch_size: int = 16, return_trajectory: bool = False,
@@ -250,10 +266,7 @@ def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
     g = gen_num_per_spectrum or cfg.gen_num_per_spectrum
     key = key if key is not None else jax.random.key(cfg.seed)
     params = state.eval_params(cfg)
-    if cfg.use_pallas:
-        # dense pair-grid kernel for fully-connected graphs, fused kNN
-        # kernel for neighbor_k topologies (nn/fast_apply.py routes on the
-        # edge representation the sampler passes per step)
+    if sampling_uses_pallas(cfg):
         from diffusion_model_tpu.nn.fast_apply import fast_denoise_fn
 
         denoise_fn = fast_denoise_fn(cfg, params["denoiser"])

@@ -128,3 +128,24 @@ class TestKnnKernel:
                             w["w2m"], w["b2m"], w["wa"], w["ba"],
                             w["w2x"], w["b2x"], w["wx3"], w["bx3"],
                             ti=8, interpret=True)
+
+
+class TestKernelRouting:
+    def test_sampling_uses_pallas_decision(self):
+        """The measured default (docs/perf/pallas_sparse_check.json):
+        kNN sampling auto-routes through the fused kernel only at the
+        measured-win scale (>=4096 atoms, plain EGCL); use_pallas forces
+        it; the lever channels opt out (not wired into the kernel)."""
+        from diffusion_model_tpu.api import sampling_uses_pallas
+
+        base = dict(n_max=4096, neighbor_k=32)
+        assert sampling_uses_pallas(Config(**base))
+        assert not sampling_uses_pallas(Config(n_max=512, neighbor_k=32))
+        assert not sampling_uses_pallas(Config(n_max=4096))  # dense
+        assert not sampling_uses_pallas(
+            Config(**base, virtual_node=True))
+        assert not sampling_uses_pallas(Config(**base, edge_rbf=8))
+        assert not sampling_uses_pallas(
+            Config(**base, global_radius_feature=True))
+        assert sampling_uses_pallas(
+            Config(n_max=192, use_pallas=True))  # manual force
