@@ -63,13 +63,22 @@ def main():
     results = {"flag_sets": {}}
     for name, flags in FLAG_SETS.items():
         r = run_bench(flags)
+        if r.get("error") is not None:
+            # the chip can refuse attach for a short window after the
+            # previous client exits — settle and retry once
+            time.sleep(90)
+            r = run_bench(flags)
         results["flag_sets"][name] = {
             "flags": flags,
             "seconds_per_structure": r.get("seconds_per_structure"),
             "value": r.get("value"),
             "error": r.get("error"),
+            "tail": r.get("tail"),
         }
-        print(name, results["flag_sets"][name], flush=True)
+        print(name, {k: v for k, v in results["flag_sets"][name].items()
+                     if k != "tail"}, flush=True)
+        if r.get("error") is not None:
+            print("  tail:", (r.get("tail") or "")[-300:], flush=True)
 
     out = os.path.join(REPO, "docs", "perf", "flags_overlap_probe.json")
     with open(out, "w") as f:
