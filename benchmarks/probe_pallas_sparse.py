@@ -137,7 +137,7 @@ def main():
     results = {"device": str(jax.devices()[0]), "iters": ITERS,
                "widths": {"F1": F1, "Fm": FM, "H": H, "K": K},
                "sizes": {}}
-    for n in (512, 1024, 4096):
+    for n in (512, 1024, 2048, 4096):
         h = jnp.asarray(rng.normal(size=(1, n, H)), jnp.float32)
         x = jnp.asarray(rng.normal(size=(1, n, 3)) * (n ** (1 / 3)),
                         jnp.float32)

@@ -231,15 +231,16 @@ def load_trained(run_dir: str, cfg: Config, example: GraphBatch):
 def sampling_uses_pallas(cfg: Config) -> bool:
     """Kernel routing for the sampler (measured decision,
     docs/perf/pallas_sparse_check.json): the fused kNN kernel loses to XLA
-    at <=1024 atoms (per-tile grid overhead) but WINS 1.78x at 4096, where
-    XLA's sparse path goes HBM-bound on the [N,K,1024] edge intermediates.
-    Auto-enable for kNN sampling at the measured-win scale (>=4096, plain
-    EGCL only — the lever channels are not wired into the kernel);
+    at <=1024 atoms (per-tile grid overhead) but WINS 1.75x at 2048 and
+    1.78x at 4096, where XLA's sparse path goes HBM-bound on the
+    [N,K,1024] edge intermediates. Auto-enable for kNN sampling at the
+    measured-win scale (>=2048, plain EGCL only — the lever channels are
+    not wired into the kernel);
     ``cfg.use_pallas`` forces the fast path everywhere, including the
     dense pair-grid kernel for fully-connected graphs."""
     if cfg.use_pallas:
         return True
-    return (cfg.neighbor_k > 0 and cfg.n_max >= 4096
+    return (cfg.neighbor_k > 0 and cfg.n_max >= 2048
             and not cfg.global_radius_feature
             and not cfg.virtual_node and not cfg.edge_rbf)
 

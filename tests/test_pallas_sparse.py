@@ -134,13 +134,13 @@ class TestKernelRouting:
     def test_sampling_uses_pallas_decision(self):
         """The measured default (docs/perf/pallas_sparse_check.json):
         kNN sampling auto-routes through the fused kernel only at the
-        measured-win scale (>=4096 atoms, plain EGCL); use_pallas forces
+        measured-win scale (>=2048 atoms, plain EGCL); use_pallas forces
         it; the lever channels opt out (not wired into the kernel)."""
         from diffusion_model_tpu.api import sampling_uses_pallas
 
-        base = dict(n_max=4096, neighbor_k=32)
+        base = dict(n_max=2048, neighbor_k=32)
         assert sampling_uses_pallas(Config(**base))
-        assert not sampling_uses_pallas(Config(n_max=512, neighbor_k=32))
+        assert not sampling_uses_pallas(Config(n_max=1024, neighbor_k=32))
         assert not sampling_uses_pallas(Config(n_max=4096))  # dense
         assert not sampling_uses_pallas(
             Config(**base, virtual_node=True))
