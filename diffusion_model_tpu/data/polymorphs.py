@@ -114,18 +114,21 @@ def expand_wyckoff(ops, wyckoff, tol: float = 1e-3):
     operators; dedup keeps one copy, so multiplicities come out right
     without per-site Wyckoff bookkeeping.
     """
+    def same(f, s):
+        # circular (mod-1) distance per axis: robust to images landing on
+        # either side of the wrap boundary (a shift-then-compare scheme
+        # can miss pairs straddling the shifted boundary by ~tol)
+        d = np.abs(np.mod(f - s, 1.0))
+        return bool(np.all(np.minimum(d, 1.0 - d) < tol))
+
     out = []
     for sp, xyz in wyckoff:
         seen = []
         for op in ops:
             f = np.mod(np.asarray(op(*xyz), float), 1.0)
-            # wrap near-1 values down so dedup catches 0 vs 0.9999
-            f = np.mod(f + tol, 1.0) - tol
-            if not any(np.all(np.abs(f - s) < tol)
-                       or np.all(np.abs(np.mod(f - s, 1.0)) < tol)
-                       for s in seen):
+            if not any(same(f, s) for s in seen):
                 seen.append(f)
-        out.extend((sp, tuple(np.mod(s, 1.0))) for s in seen)
+        out.extend((sp, tuple(s)) for s in seen)
     return out
 
 

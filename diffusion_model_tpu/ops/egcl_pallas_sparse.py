@@ -62,11 +62,27 @@ def _kernel(am_i_ref, ax_i_ref, h_j_ref, x_i_ref, x_j_ref, em_ref,
             preferred_element_type=acc_dtype,
         )
 
+    def rep_i_f32(block):
+        # f32-geometry variant: the cdt (bf16) one-hot matmul above would
+        # truncate the i-side coordinates before diff/d2 — at large-cell
+        # coordinate magnitudes (|x| ~ 12+ A) bf16 rounding is ~0.05 A,
+        # a bond-length-scale error (nn/egnn.py _dense_call invariant).
+        # precision=HIGHEST because the MXU's DEFAULT f32 dot is a single
+        # bf16 pass — it would re-truncate the very payload this variant
+        # exists to protect; with 0/1 selection entries the multi-pass
+        # decomposition is exact. The [E, TI] x [TI, 3] cost is negligible.
+        return jax.lax.dot_general(
+            r_onehot.astype(acc_dtype), block.astype(acc_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
     h_j = h_j_ref[0].reshape(e, h_j_ref.shape[-1])        # [E, Hp]
     x_jf = x_j_ref[0].reshape(e, 3).astype(acc_dtype)     # [E, 3]
     em = em_ref[0].reshape(e, 1).astype(acc_dtype)        # [E, 1]
 
-    x_if = rep_i(x_i_ref[0])                              # [E, 3] f32
+    x_if = rep_i_f32(x_i_ref[0])                          # [E, 3] f32
     diff = x_if - x_jf
     d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)     # [E, 1] f32
 
@@ -91,10 +107,17 @@ def _kernel(am_i_ref, ax_i_ref, h_j_ref, x_i_ref, x_j_ref, em_ref,
     sel_sum = (grp_rows == grp_cols).astype(acc_dtype)
 
     def group_sum(v):  # [E, F] -> [TI, F]
+        # precision=HIGHEST: v is the f32-accumulated payload (attention-
+        # weighted messages / coordinate updates); the MXU's DEFAULT f32
+        # dot would truncate every element to bf16 before the K-reduction
+        # — the systematic ~1-2% "f32" drift docs/perf/sparse_parity_f32
+        # .json decomposed. 0/1 selection rows make HIGHEST exact; the
+        # [TI, E] x [E, F] matmul is a negligible fraction of kernel FLOPs.
         return jax.lax.dot_general(
             sel_sum, v.astype(acc_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     d2_c = d2.astype(cdt)
