@@ -234,15 +234,20 @@ def sampling_uses_pallas(cfg: Config) -> bool:
     at <=1024 atoms (per-tile grid overhead) but WINS 1.75x at 2048 and
     1.78x at 4096, where XLA's sparse path goes HBM-bound on the
     [N,K,1024] edge intermediates. Auto-enable for kNN sampling at the
-    measured-win scale (>=2048, plain EGCL only — the lever channels are
-    not wired into the kernel);
+    measured-win scale (>=2048; virtual_node composes — its O(N) channel
+    runs in XLA outside the kernel, nn/fast_apply.py vn_channel — while
+    global_radius_feature/edge_rbf stay XLA-only);
     ``cfg.use_pallas`` forces the fast path everywhere, including the
     dense pair-grid kernel for fully-connected graphs."""
     if cfg.use_pallas:
         return True
+    # n_max % 8: egcl_knn_kernel requires N divisible by its tile size —
+    # the auto-route must never crash a config the XLA path samples fine
+    # (use_pallas=True as the explicit force may still raise).
     return (cfg.neighbor_k > 0 and cfg.n_max >= 2048
+            and cfg.n_max % 8 == 0
             and not cfg.global_radius_feature
-            and not cfg.virtual_node and not cfg.edge_rbf)
+            and not cfg.edge_rbf)
 
 
 def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,

@@ -134,16 +134,21 @@ class TestKernelRouting:
     def test_sampling_uses_pallas_decision(self):
         """The measured default (docs/perf/pallas_sparse_check.json):
         kNN sampling auto-routes through the fused kernel only at the
-        measured-win scale (>=2048 atoms, plain EGCL); use_pallas forces
-        it; the lever channels opt out (not wired into the kernel)."""
+        measured-win scale (>=2048 atoms); use_pallas forces it;
+        virtual_node composes (its O(N) channel runs in XLA outside the
+        kernel, nn/fast_apply.py vn_channel) while the edge-topology
+        levers (edge_rbf, global_radius_feature) opt out."""
         from diffusion_model_tpu.api import sampling_uses_pallas
 
         base = dict(n_max=2048, neighbor_k=32)
         assert sampling_uses_pallas(Config(**base))
         assert not sampling_uses_pallas(Config(n_max=1024, neighbor_k=32))
         assert not sampling_uses_pallas(Config(n_max=4096))  # dense
-        assert not sampling_uses_pallas(
+        assert sampling_uses_pallas(
             Config(**base, virtual_node=True))
+        # the kernel's tile size requires n_max % 8 == 0 — a config that
+        # samples fine on XLA must never crash via the auto-route
+        assert not sampling_uses_pallas(Config(n_max=2050, neighbor_k=32))
         assert not sampling_uses_pallas(Config(**base, edge_rbf=8))
         assert not sampling_uses_pallas(
             Config(**base, global_radius_feature=True))
