@@ -349,6 +349,69 @@ def generate(cfg: Config, trainer: Trainer, state, test_graphs: list,
     }
 
 
+def generate_ring(cfg: Config, trainer: Trainer, state, test_graphs: list,
+                  mesh=None, axis: str = "data", key=None,
+                  gen_num_per_spectrum: Optional[int] = None):
+    """Sample through the ppermute ring: one node-sharded graph per call.
+
+    The generation route for dense-topology cells whose ``[N, N]`` pair
+    grid exceeds one chip (SURVEY.md §2.6; capability analogue of ref
+    ``generate_amorphous.py`` at 4096+ atoms): the scan sampler runs
+    UNCHANGED (strided/DDIM/CFG/t=0 epilogue, NaN retry) with its denoiser
+    routed through ``parallel.ring.ring_sampler_denoise_fn``; conditions
+    and their ``gen_num_per_spectrum`` repeats are driven sequentially at
+    B=1 (one ring = one resident graph). Output dict matches
+    :func:`generate` field-for-field, so every evaluator CLI consumes it.
+    """
+    from diffusion_model_tpu.parallel import make_mesh
+    from diffusion_model_tpu.parallel.ring import ring_sampler_denoise_fn
+
+    if not cfg.ring_sample:
+        cfg = cfg.replace(ring_sample=True)
+    if mesh is None:
+        mesh = make_mesh(cfg.mesh_shape or None, (axis,))
+    if cfg.n_max % mesh.devices.size != 0:
+        raise ValueError(
+            f"n_max={cfg.n_max} not divisible by mesh size "
+            f"{mesh.devices.size}")
+    g = gen_num_per_spectrum or cfg.gen_num_per_spectrum
+    key = key if key is not None else jax.random.key(cfg.seed)
+    params = state.eval_params(cfg)
+    denoise_fn = ring_sampler_denoise_fn(cfg, params["denoiser"], mesh,
+                                         axis)
+    schedule = trainer.schedule_for(params)
+    jitted = jax.jit(partial(sample, denoise_fn, schedule, cfg))
+
+    outs, ids = [], []
+    orig_pos, orig_species, masks = [], [], []
+    for gr in test_graphs:
+        cond = collate([gr], cfg.n_max)
+        for _ in range(g):
+            key, sub = jax.random.split(key)
+            res = sample_with_retry(denoise_fn, schedule, cfg, sub, cond,
+                                    jitted_sample=jitted)
+            outs.append(jax.tree.map(np.asarray, res))
+            ids.append(gr["id"])
+        orig_pos.append(np.repeat(np.asarray(cond.pos), g, axis=0))
+        orig_species.append(np.repeat(np.asarray(cond.species), g, axis=0))
+        masks.append(np.repeat(np.asarray(cond.mask), g, axis=0))
+
+    def cat(field):
+        return np.concatenate([getattr(o, field) for o in outs], axis=0)
+
+    return {
+        "ids": ids,
+        "original_pos": np.concatenate(orig_pos, axis=0),
+        "original_species": np.concatenate(orig_species, axis=0),
+        "mask": np.concatenate(masks, axis=0),
+        "generated_pos": cat("pos"),
+        "generated_species": cat("species"),
+        "generated_h": cat("h"),
+        "finite": cat("finite"),
+        "accepted": cat("accepted"),
+    }
+
+
 def predict_sizes(cfg: Config, size_predictor, test_graphs: list) -> list:
     """Re-size each condition to the CN-predicted atom count: the per-node
     arrays are truncated or zero-padded to round(model(spectrum)) atoms

@@ -212,6 +212,17 @@ class Config:
     # bit-identical to the plain one. 0 = reference-exact; unsupported on
     # the Pallas fast path and the ring path (both reject it).
     edge_rbf_rmax: float = 8.0
+    ring_sample: bool = False
+    # route SAMPLING through the ppermute ring (parallel/ring.py
+    # ring_sampler_denoise_fn): one dense-topology graph whose node axis
+    # is sharded over the mesh — the generation path for cells whose
+    # [N, N] pair grid exceeds one chip's HBM (SURVEY.md §2.6; the
+    # capability analogue of ref generate_amorphous.py at 4096+ atoms).
+    # Requires batch entries of ONE graph per sampling call
+    # (api.generate_ring drives this) and neighbor_k == 0 (the ring is
+    # the dense-topology scale-out; kNN cells scale on one chip via the
+    # fused kernel instead). The sampler skips building the [B, N, N]
+    # pair mask entirely — the ring computes pair blocks on the fly.
     remat_egcl: bool = False
     # rematerialise each EGCL layer (jax.checkpoint) so the backward pass
     # recomputes layer activations instead of holding all L layers live.

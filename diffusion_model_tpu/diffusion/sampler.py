@@ -122,8 +122,11 @@ def sample(
     scale = cfg.onehot_scaling_factor
     mask = cond.mask
     # dense pair mask only when the dense topology is in use — with kNN
-    # neighbour lists the [B, N, N] tensor would defeat the point at 1024+
-    pair_mask = None if cfg.neighbor_k else cond.pair_mask()
+    # neighbour lists the [B, N, N] tensor would defeat the point at 1024+,
+    # and the ring path (cfg.ring_sample) materialises pair blocks on the
+    # fly across the mesh, so building [B, N, N] here would defeat THAT
+    pair_mask = (None if (cfg.neighbor_k or cfg.ring_sample)
+                 else cond.pair_mask())
     b, n = mask.shape
     a_dim = cfg.atom_type_size
 
@@ -140,12 +143,12 @@ def sample(
 
     def denoise(pos, h, t_norm_scalar):
         t_norm = jnp.full((b, n, 1), t_norm_scalar, pos.dtype) * m3
-        if cfg.neighbor_k:
+        if cfg.neighbor_k and not cfg.ring_sample:
             from diffusion_model_tpu.ops.edges import knn_edges
 
             edges = knn_edges(pos, mask, cfg.neighbor_k)
         else:
-            edges = pair_mask
+            edges = pair_mask  # None on the ring path (ignored there)
         eps_x, eps_h = denoise_fn(
             scale * h, pos, cond.spectrum, cond.exo, t_norm, mask, edges
         )

@@ -305,3 +305,40 @@ def ring_denoise_fn(cfg: Config, denoiser_params, mesh: Mesh,
                         t_norm, mask)
 
     return fn
+
+
+def ring_sampler_denoise_fn(cfg: Config, denoiser_params, mesh: Mesh,
+                            axis: str = "data"):
+    """Adapter from the ring denoiser to the scan sampler's contract.
+
+    The sampler (diffusion/sampler.py) calls ``denoise_fn(species_ch, pos,
+    spectrum, exo, t_norm, mask, edges)`` with batched ``[B, N, ...]``
+    arrays; the ring runs ONE node-sharded graph. This adapter closes the
+    VERDICT-r4 seam: with ``cfg.ring_sample`` the sampler passes
+    ``edges=None`` (no ``[B, N, N]`` pair mask is ever built) and this fn
+    squeezes the mandatory B=1 axis, runs the ppermute ring, and restores
+    it — so the UNMODIFIED scan sampler (strided/DDIM/CFG/t=0 epilogue
+    included) generates cells whose dense pair grid exceeds one chip
+    (SURVEY.md §2.6; capability analogue of ref generate_amorphous.py).
+
+    B=1 is enforced at trace time: one ring = one resident graph; a
+    larger batch would silently average unrelated graphs' blocks.
+    """
+    if cfg.neighbor_k:
+        raise ValueError(
+            "ring_sample is the dense-topology scale-out; kNN cells "
+            "(neighbor_k > 0) scale on one chip via the fused kernel — "
+            "unset neighbor_k or ring_sample")
+    apply_fn = ring_denoise_apply(cfg, mesh, axis)
+
+    def fn(species_ch, pos, spectrum, exo, t_norm, mask, edges=None):
+        del edges  # the ring materialises pair blocks on the fly
+        if pos.shape[0] != 1:
+            raise ValueError(
+                f"ring sampling takes one node-sharded graph per call "
+                f"(got batch_size={pos.shape[0]}); use api.generate_ring")
+        eps_x, eps_h = apply_fn(denoiser_params, species_ch[0], pos[0],
+                                spectrum[0], exo[0], t_norm[0], mask[0])
+        return eps_x[None], eps_h[None]
+
+    return fn
