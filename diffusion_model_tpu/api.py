@@ -64,12 +64,23 @@ def fit_n_max(graphs: list, multiple: int = 8) -> int:
 def train(cfg: Config, dataset: list, run_dir: str,
           logger: Optional[RunLogger] = None,
           num_epochs: Optional[int] = None, mesh=None,
-          resume: bool = False):
+          resume: bool = False,
+          init_params_from: Optional[str] = None):
     """Training loop with eval, early stopping and checkpoints
     (ref main.py:204-228). With ``mesh`` (or ``cfg.mesh_shape`` set),
     batches are data-parallel sharded and the state replicated. With
     ``resume=True`` training continues from the latest checkpoint's epoch
-    (true mid-training resume; the reference has none, SURVEY.md §5)."""
+    (true mid-training resume; the reference has none, SURVEY.md §5).
+
+    ``init_params_from``: curriculum initialisation — a run dir whose
+    latest checkpoint's EVAL parameters (the schedule-free averaged point /
+    EMA, i.e. the quality-bearing iterate) seed this run's parameters,
+    with a FRESH optimizer state and epoch 0. The EGNN is size-agnostic
+    (shared per-node/per-edge parameters), so a 192-atom checkpoint
+    initialises a 512-atom run directly; the architecture flags (L,
+    neighbor_k-independent widths, lever set) must match the source. When
+    ``resume=True`` finds a checkpoint in ``run_dir`` it wins (watchdog
+    relaunches of a curriculum run must not restart from the source)."""
     logger = logger or RunLogger(run_dir, cfg)
     dataset = prepare_dataset(dataset, cfg)
     train_set, val_set, test_set = split_dataset(dataset, cfg.seed)
@@ -90,6 +101,22 @@ def train(cfg: Config, dataset: list, run_dir: str,
                                           skip_gamma_fit=True)
             state, _ = restore_checkpoint(ckpt_dir, template, step=step)
             start_epoch = step
+    if state is None and init_params_from:
+        from diffusion_model_tpu.train.trainer import TrainState
+
+        template = trainer.init_state(init_key, example,
+                                      skip_gamma_fit=True)
+        src_state, src_cfg = restore_checkpoint(
+            os.path.join(init_params_from, "checkpoints"), template
+        )
+        params = src_state.eval_params(src_cfg)
+        state = TrainState(
+            params=params,
+            opt_state=trainer.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        print(f"curriculum init: params from {init_params_from} "
+              f"(source step {int(src_state.step)})", flush=True)
     if state is None:
         state = trainer.init_state(init_key, example)
 

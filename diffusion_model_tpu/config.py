@@ -172,6 +172,17 @@ class Config:
     # loss profile of large-cell runs (the chemical-order deficit sits in
     # the mid-noise structure-formation band, docs/quality/
     # size512net_per_t_profile.json). 0.0 = reference-exact uniform.
+    t_loss_weight: float = 1.0
+    # per-timestep LOSS weighting (train/loss.py t_band_weights): graphs
+    # whose drawn t falls in [t_bias_lo, t_bias_hi] have their per-graph
+    # loss multiplied by this factor, normalised by the analytic expected
+    # weight so the loss scale (and the effective lr under the
+    # always-clipping regime) is unchanged. Unlike t_bias_frac this keeps
+    # the reference's uniform t coverage — every band still receives
+    # samples; only the gradient emphasis moves. The VERDICT-r4 candidate
+    # mechanism for the 512-atom structure-formation underfit
+    # (docs/quality/size512net_per_t_profile.json: eps-MSE deficit at
+    # t ~ 150-600). 1.0 = reference-exact unweighted loss.
     h_residual: bool = False
     # opt-in residual node update ``h' = h + mlp_h([h | sum m])`` on layers
     # whose input/output widths match (all but the first — layer 0 maps the

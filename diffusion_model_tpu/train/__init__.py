@@ -1,4 +1,8 @@
-from diffusion_model_tpu.train.loss import diffuse_batch, epsilon_loss
+from diffusion_model_tpu.train.loss import (
+    diffuse_batch,
+    epsilon_loss,
+    t_band_weights,
+)
 from diffusion_model_tpu.train.trainer import (
     EarlyStopping,
     TrainState,
@@ -14,6 +18,7 @@ from diffusion_model_tpu.train.checkpoint import (
 __all__ = [
     "diffuse_batch",
     "epsilon_loss",
+    "t_band_weights",
     "EarlyStopping",
     "TrainState",
     "Trainer",

@@ -78,23 +78,58 @@ def diffuse_batch(schedule: Schedule, cfg: Config, key, batch: GraphBatch):
     return pos_t, h_t, t, eps_pos, eps_h
 
 
+def t_band_weights(cfg: Config, t):
+    """Per-graph loss weights for the t-band weighting lever.
+
+    ``w(t) = t_loss_weight`` inside ``[t_bias_lo, t_bias_hi]``, 1 outside,
+    divided by the ANALYTIC expected weight under the uniform t draw so
+    the loss scale is batch-size independent (a batch-mean normalisation
+    would cancel the weighting entirely at batch_size=1, e.g. on the ring
+    path). Returns None when the lever is off (reference-exact loss).
+    """
+    if cfg.t_loss_weight == 1.0:
+        return None
+    if not 1 <= cfg.t_bias_lo <= cfg.t_bias_hi <= cfg.num_diffusion_timestep:
+        raise ValueError(
+            f"t-band [{cfg.t_bias_lo}, {cfg.t_bias_hi}] must lie within "
+            f"[1, num_diffusion_timestep={cfg.num_diffusion_timestep}]"
+        )
+    if cfg.t_loss_weight <= 0.0:
+        raise ValueError(f"t_loss_weight={cfg.t_loss_weight} must be > 0")
+    in_band = (t >= cfg.t_bias_lo) & (t <= cfg.t_bias_hi)
+    w = jnp.where(in_band, cfg.t_loss_weight, 1.0)
+    p_band = (cfg.t_bias_hi - cfg.t_bias_lo + 1) / cfg.num_diffusion_timestep
+    return w / (1.0 + (cfg.t_loss_weight - 1.0) * p_band)
+
+
 def epsilon_loss(eps_x_pred, eps_h_pred, eps_x, eps_h, mask,
-                 include_h: bool = True):
+                 include_h: bool = True, weights=None):
     """Sum-MSE over [eps_x | eps_h] with the reference's normalisations.
 
+    ``weights``: optional ``[B]`` per-graph loss weights (t_band_weights) —
+    applied to the GRADIENT loss only; the reported ``sum_sq`` metric stays
+    the raw unweighted error so loss curves remain comparable across arms.
+
     Returns:
-      (loss_for_grad = sum / num_graphs,
+      (loss_for_grad = (weighted) sum / num_graphs,
        sum_sq        = raw summed squared error,
        num_nodes     = real atoms in the batch)
     """
     m3 = mask[..., None]
-    sq = jnp.sum(((eps_x_pred - eps_x) ** 2) * m3)
+    per_graph = jnp.sum(((eps_x_pred - eps_x) ** 2) * m3, axis=(1, 2))
     if include_h:
-        sq = sq + jnp.sum(((eps_h_pred - eps_h) ** 2) * m3)
+        per_graph = per_graph + jnp.sum(
+            ((eps_h_pred - eps_h) ** 2) * m3, axis=(1, 2)
+        )
+    sq = jnp.sum(per_graph)
     # count only graphs with at least one real node (batch padding rows
     # have all-zero masks and must not dilute the per-graph normalisation)
     num_graphs = jnp.maximum(
         jnp.sum(jnp.any(mask > 0, axis=-1).astype(sq.dtype)), 1.0
     )
     num_nodes = jnp.sum(mask)
-    return sq / num_graphs, sq, num_nodes
+    loss_sq = (
+        jnp.sum(per_graph * weights.astype(per_graph.dtype))
+        if weights is not None else sq
+    )
+    return loss_sq / num_graphs, sq, num_nodes

@@ -34,7 +34,11 @@ from diffusion_model_tpu.diffusion.process import (
 from diffusion_model_tpu.nn.denoiser import DiffusionDenoiser
 from diffusion_model_tpu.nn.gamma import GammaNetwork
 from diffusion_model_tpu.ops.edges import knn_edges
-from diffusion_model_tpu.train.loss import diffuse_batch, epsilon_loss
+from diffusion_model_tpu.train.loss import (
+    diffuse_batch,
+    epsilon_loss,
+    t_band_weights,
+)
 
 
 class EmaState(flax.struct.PyTreeNode):
@@ -258,6 +262,7 @@ class Trainer:
         loss, sum_sq, num_nodes = epsilon_loss(
             eps_x_pred, eps_h_pred, eps_pos, eps_h, batch.mask,
             include_h=cfg.diffuse_species,
+            weights=t_band_weights(cfg, t),
         )
         if cfg.kabsch_loss:
             loss = loss + cfg.kabsch_loss_weight * self._kabsch_loss(
@@ -446,6 +451,7 @@ class Trainer:
             loss, sum_sq, num_nodes = epsilon_loss(
                 eps_x_pred[None], eps_h_pred[None], eps_pos, eps_h,
                 batch.mask, include_h=cfg.diffuse_species,
+                weights=t_band_weights(cfg, t),
             )
             if self.gamma is not None and cfg.gamma_boundary_weight > 0:
                 loss = loss + cfg.gamma_boundary_weight * \

@@ -101,6 +101,21 @@ def main():
                         "mid-noise band (config.t_bias_frac) — targets "
                         "the structure-formation underfit, docs/quality/"
                         "size512net_per_t_profile.json")
+    p.add_argument("--t_loss_weight", type=float, default=1.0,
+                   help="per-graph LOSS multiplier for t in the "
+                        "[t_bias_lo, t_bias_hi] band, analytically "
+                        "normalised (config.t_loss_weight) — the "
+                        "gradient-emphasis variant of t_bias_frac that "
+                        "keeps uniform t coverage (VERDICT-r4 candidate "
+                        "for the 512-atom structure-formation underfit)")
+    p.add_argument("--init_from", type=str, default="",
+                   help="curriculum initialisation: run dir whose latest "
+                        "checkpoint's eval params seed this run (fresh "
+                        "optimizer, epoch 0). The EGNN is size-agnostic, "
+                        "so a 192-atom checkpoint initialises a 512-atom "
+                        "run; architecture flags must match. A checkpoint "
+                        "in --out_dir + --resume wins over this (watchdog "
+                        "relaunch semantics).")
     p.add_argument("--optimizer", type=str, default="RAdamScheduleFree",
                    choices=("RAdamScheduleFree", "Adam", "AdamW"),
                    help="RAdamScheduleFree is the reference default; EMA "
@@ -190,6 +205,7 @@ def main():
         remat_egcl=args.remat,
         edge_rbf=args.edge_rbf,
         t_bias_frac=args.t_bias_frac,
+        t_loss_weight=args.t_loss_weight,
         checkpoint_every=args.checkpoint_every,  # long runs survive kills
     )
     print(f"devices: {jax.devices()}", flush=True)
@@ -203,7 +219,8 @@ def main():
     logger = RunLogger(args.out_dir, cfg)
     t0 = time.time()
     trainer, state, _ = api.train(cfg, train_graphs, args.out_dir, logger,
-                                  resume=args.resume)
+                                  resume=args.resume,
+                                  init_params_from=args.init_from or None)
     print(f"trained {args.epochs} epochs in {time.time()-t0:.0f}s",
           flush=True)
 
@@ -279,6 +296,10 @@ def main():
                      + (f"_ema{args.ema_decay:g}" if args.ema_decay else "")
                      + (f"_rbf{args.edge_rbf}" if args.edge_rbf else "")
                      + (f"_tb{args.t_bias_frac:g}" if args.t_bias_frac else "")
+                     + (f"_tw{args.t_loss_weight:g}"
+                        if args.t_loss_weight != 1.0 else "")
+                     + (f"_L{args.L}" if args.L != 5 else "")
+                     + (f"_curr" if args.init_from else "")
                      + ("_gr" if args.global_radius else "")
                      + ("_vn" if args.virtual_node else ""),
            "sizes": results}
