@@ -52,6 +52,10 @@ def main():
                    help="opt-in residual node update (config.h_residual)")
     p.add_argument("--tag", type=str, default=None,
                    help="config label recorded in the summary JSON")
+    p.add_argument("--seed", type=int, default=2024,
+                   help="config seed (init + data split + sampling keys) — "
+                        "the seed-variance knob for the learned-schedule "
+                        "recipe characterisation (VERDICT r4 #3)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in out_dir "
                         "(api.train resume) — lets a watchdog relaunch a "
@@ -85,6 +89,7 @@ def main():
         noise_schedule=args.noise_schedule,
         gamma_init=args.gamma_init,
         h_residual=args.h_residual,
+        seed=args.seed,
     )
     print(f"devices: {jax.devices()}", flush=True)
     graphs = synthetic_sio2_dataset(cfg.seed, args.num, cfg.n_max,
