@@ -44,6 +44,13 @@ def main(argv=None):
                         "concurrent-chain count (batch_size * "
                         "gen_num_per_spectrum) <= 8 for 512+-atom cells "
                         "(TPU-worker per-program limit, docs/ROADMAP.md)")
+    p.add_argument("--ring", action="store_true",
+                   help="sample through the ppermute ring "
+                        "(api.generate_ring): one dense-topology graph "
+                        "node-sharded over the device mesh — the route "
+                        "for cells whose [N, N] pair grid exceeds one "
+                        "chip's HBM (requires neighbor_k == 0; drives "
+                        "conditions sequentially at B=1)")
     p.add_argument("--panel", action="store_true",
                    help="emit the structural-quality panel + the "
                         "in-protocol RDF resampling ceiling "
@@ -84,12 +91,17 @@ def main(argv=None):
     logger = RunLogger(args.run_dir)
     example = collate(graphs[:1], cfg.n_max)
     trainer, state = api.load_trained(args.run_dir, cfg, example)
-    gen_kwargs = {}
-    if args.batch_size is not None:
-        gen_kwargs["batch_size"] = args.batch_size
-    results = api.generate(cfg, trainer, state, graphs,
-                           gen_num_per_spectrum=args.gen_num_per_spectrum,
-                           **gen_kwargs)
+    if args.ring:
+        results = api.generate_ring(
+            cfg, trainer, state, graphs,
+            gen_num_per_spectrum=args.gen_num_per_spectrum)
+    else:
+        gen_kwargs = {}
+        if args.batch_size is not None:
+            gen_kwargs["batch_size"] = args.batch_size
+        results = api.generate(
+            cfg, trainer, state, graphs,
+            gen_num_per_spectrum=args.gen_num_per_spectrum, **gen_kwargs)
 
     out = os.path.join(args.run_dir, "generated_amorphous.npz")
     np.savez_compressed(out, **{k: v for k, v in results.items()

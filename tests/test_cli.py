@@ -114,6 +114,29 @@ class TestGenerateAmorphousCLI:
             assert 0.0 < panel["rdf_ceiling"]["mean"] <= 1.0
             assert "pair_dist_w1" in panel["panel"]
 
+    @pytest.mark.slow
+    def test_ring_route(self, tmp_path, micro_yaml):
+        """--ring samples through the ppermute ring (api.generate_ring):
+        the CLI route for cells whose pair grid exceeds one chip —
+        exercised here on the 8-device virtual mesh (fit_n_max rounds to
+        a multiple of 8, so the node axis shards evenly)."""
+        from diffusion_model_tpu.cli import generate_amorphous
+
+        run_dir = str(tmp_path / "run_ring")
+        cli_main.main([
+            "--mode", "train_only", "--run_dir", run_dir,
+            "--config", micro_yaml, "--synthetic", "24",
+        ])
+        generate_amorphous.main([
+            "--run_dir", run_dir, "--synthetic", "2",
+            "--gen_num_per_spectrum", "1", "--ring",
+        ])
+        out = os.path.join(run_dir, "generated_amorphous.npz")
+        assert os.path.isfile(out)
+        z = np.load(out)
+        assert z["generated_pos"].shape[0] == 2
+        assert np.isfinite(z["generated_pos"]).all()
+
 
 class TestCNCLI:
     def test_cn_predictor_trains(self, capsys):
