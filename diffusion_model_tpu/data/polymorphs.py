@@ -160,6 +160,11 @@ def local_geometry(poly, o_index, cutoff: float = 2.0):
     """
     sites = _structure(poly)
     lat = lattice_matrix(poly["abc"], poly["angles"])
+    return local_geometry_sites(sites, lat, o_index, cutoff)
+
+
+def local_geometry_sites(sites, lat, o_index, cutoff: float = 2.0):
+    """`local_geometry` on an explicit (possibly rattled) site list."""
     fracs = np.array([xyz for _, xyz in sites])
     specs = [sp for sp, _ in sites]
     o_sites = [i for i, sp in enumerate(specs) if sp == "O"]
@@ -201,11 +206,25 @@ def physical_edge_curve(cn, angle_deg, rng, ev):
     return y
 
 
-def write_sample(sample_dir, poly, o_index, rng):
+def write_sample(sample_dir, poly, o_index, rng, rattle_sigma_A=0.0):
     """One sample directory: coreloss.cell (chosen O as O:ex) +
-    coreloss_core_edge.dat keyed to that site's real geometry."""
+    coreloss_core_edge.dat keyed to that site's real geometry.
+
+    ``rattle_sigma_A > 0`` perturbs every atom with isotropic Gaussian
+    CARTESIAN noise (a thermal-ensemble snapshot, the disorder any real
+    EELS corpus carries) and then measures the excited site's geometry
+    FROM the perturbed cell, so the written spectrum still encodes the
+    true local structure of the written positions — the rattle widens
+    conditioning diversity without breaking spectrum↔geometry fidelity.
+    """
     os.makedirs(sample_dir, exist_ok=True)
     sites = _structure(poly)
+    lat = lattice_matrix(poly["abc"], poly["angles"])
+    if rattle_sigma_A > 0.0:
+        fracs = np.array([xyz for _, xyz in sites], dtype=float)
+        cart_noise = rng.normal(0.0, rattle_sigma_A, fracs.shape)
+        fracs = np.mod(fracs + cart_noise @ np.linalg.inv(lat), 1.0)
+        sites = [(sp, tuple(f)) for (sp, _), f in zip(sites, fracs)]
     o_seen = -1
     lines = [
         f"# {poly['name']} SiO2 polymorph, public crystallography",
@@ -230,7 +249,7 @@ def write_sample(sample_dir, poly, o_index, rng):
     with open(os.path.join(sample_dir, "coreloss.cell"), "w") as f:
         f.write("\n".join(lines))
 
-    cn, angle = local_geometry(poly, o_index)
+    cn, angle = local_geometry_sites(sites, lat, o_index)
     ev = np.arange(-5.0, 25.0, 0.1)
     y = physical_edge_curve(cn, angle, rng, ev)
     with open(os.path.join(sample_dir, "coreloss_core_edge.dat"),
@@ -247,8 +266,17 @@ POLYMORPHS = (QUARTZ, CRISTOBALITE_WYCKOFF, COESITE_WYCKOFF)
 
 
 def write_corpus(corpus_dir, seed: int = 0, polymorphs=POLYMORPHS,
-                 max_sites_per_polymorph: int | None = None):
+                 max_sites_per_polymorph: int | None = None,
+                 n_rattles: int = 0, rattle_sigma_A: float = 0.03):
     """The full corpus: one sample per (polymorph, O site).
+
+    ``n_rattles > 0`` additionally writes that many thermally-rattled
+    snapshots per site (see :func:`write_sample`), named
+    ``sample_NNN_<poly>_oK_rJ`` so downstream per-polymorph grouping
+    (``id.split("_")[2]``) still resolves. The rattles turn the corpus's
+    discrete per-site angle values into a continuous thermal spread —
+    the conditioning-diversity widening of VERDICT r4 #2 / missing #2
+    (measured gap: docs/quality/real_data_angle_diagnosis.json).
 
     Returns a manifest list of (sample_name, polymorph, cn, angle_deg).
     """
@@ -261,9 +289,13 @@ def write_corpus(corpus_dir, seed: int = 0, polymorphs=POLYMORPHS,
         if max_sites_per_polymorph is not None:
             n_o = min(n_o, max_sites_per_polymorph)
         for o_index in range(n_o):
-            name = f"sample_{idx:03d}_{poly['name']}_o{o_index}"
-            cn, angle = write_sample(
-                os.path.join(corpus_dir, name), poly, o_index, rng)
-            manifest.append((name, poly["name"], cn, angle))
-            idx += 1
+            variants = [("", 0.0)] + [
+                (f"_r{j}", rattle_sigma_A) for j in range(n_rattles)]
+            for suffix, sigma in variants:
+                name = f"sample_{idx:03d}_{poly['name']}_o{o_index}{suffix}"
+                cn, angle = write_sample(
+                    os.path.join(corpus_dir, name), poly, o_index, rng,
+                    rattle_sigma_A=sigma)
+                manifest.append((name, poly["name"], cn, angle))
+                idx += 1
     return manifest

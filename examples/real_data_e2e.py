@@ -71,6 +71,15 @@ def main():
                    help="diffusion T (reduce only for plumbing smokes)")
     p.add_argument("--out_json", type=str,
                    default="docs/quality/real_data_e2e.json")
+    p.add_argument("--rattles", type=int, default=0,
+                   help="thermally-rattled snapshots per O site (corpus "
+                        "widening; spectrum recomputed from each rattled "
+                        "cell's true geometry — polymorphs.write_corpus)")
+    p.add_argument("--rattle_sigma", type=float, default=0.03,
+                   help="cartesian rattle amplitude in Angstrom")
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="training batch (32 keeps steps/epoch flat when "
+                        "--rattles multiplies the corpus)")
     args = p.parse_args()
 
     import numpy as np
@@ -79,13 +88,15 @@ def main():
 
     corpus = os.path.join(args.work_dir, "corpus")
     shutil.rmtree(args.work_dir, ignore_errors=True)
-    manifest = polymorphs.write_corpus(corpus, seed=0)
+    manifest = polymorphs.write_corpus(
+        corpus, seed=0, n_rattles=args.rattles,
+        rattle_sigma_A=args.rattle_sigma)
     angles = [m[3] for m in manifest]
     print(f"corpus: {len(manifest)} samples, Si-O-Si angles "
           f"{min(angles):.1f}-{max(angles):.1f} deg", flush=True)
 
     # the measured quality-run hyperparameters (examples/quality_demo.py)
-    overrides = {"batch_size": 16, "lr": 2e-4,
+    overrides = {"batch_size": args.batch_size, "lr": 2e-4,
                  "optimizer": "RAdamScheduleFree",
                  "num_diffusion_timestep": args.timesteps}
     # compute_dtype stays float32: this driver runs CPU-side (the TPU is
@@ -211,6 +222,8 @@ def main():
             "polymorphs": sorted({m[1] for m in manifest}),
             "angle_deg_min": round(min(angles), 2),
             "angle_deg_max": round(max(angles), 2),
+            "rattles_per_site": args.rattles,
+            "rattle_sigma_A": args.rattle_sigma if args.rattles else 0.0,
             **bond_stats,
         },
         "epochs": args.epochs,

@@ -144,3 +144,61 @@ class TestCorpusPipeline:
                     losses.append(row["train_loss"])
         assert np.isfinite(losses).all()
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestRattledCorpus:
+    """Thermal-rattle corpus widening (write_corpus n_rattles).
+
+    The invariant that makes the augmentation honest: the spectrum is
+    synthesized from the geometry OF THE WRITTEN (perturbed) CELL, so a
+    rattled sample is a self-consistent (spectrum, structure) pair, not
+    label noise.
+    """
+
+    def test_rattled_cell_matches_manifest_geometry(self, tmp_path):
+        from diffusion_model_tpu.data.cell import read_castep_cell
+
+        corpus = str(tmp_path / "c")
+        man = P.write_corpus(corpus, seed=3, max_sites_per_polymorph=2,
+                             n_rattles=2, rattle_sigma_A=0.03)
+        # 3 polymorphs x 2 sites x (1 base + 2 rattles)
+        assert len(man) == 18
+        base = [m for m in man if "_r" not in m[0].split("_o")[1]]
+        rattled = [m for m in man if m not in base]
+        assert len(base) == 6 and len(rattled) == 12
+
+        import os
+        for name, poly_name, cn, angle in rattled:
+            struct = read_castep_cell(
+                os.path.join(corpus, name, "coreloss.cell"))
+            sites = list(zip(struct.species,
+                             [tuple(f) for f in struct.frac_coords]))
+            o_sites = [i for i, sp in enumerate(struct.species)
+                       if sp == "O"]
+            o_index = o_sites.index(struct.exo_index)
+            cn2, angle2 = P.local_geometry_sites(
+                sites, struct.lattice, o_index)
+            assert cn2 == cn == 2
+            # writer rounds fracs to 6 decimals -> sub-0.05-deg slack
+            assert abs(angle2 - angle) < 0.05, (name, angle, angle2)
+
+    def test_rattles_spread_the_discrete_angles(self, tmp_path):
+        corpus = str(tmp_path / "c")
+        man = P.write_corpus(corpus, seed=5, max_sites_per_polymorph=1,
+                             n_rattles=4, rattle_sigma_A=0.03)
+        for poly in ("quartz", "cristobalite", "coesite"):
+            angles = [a for n, p, _, a in man if p == poly]
+            base, rest = angles[0], angles[1:]
+            # each rattle lands at a distinct nearby angle
+            assert len({round(a, 3) for a in rest}) == len(rest)
+            assert all(abs(a - base) < 25.0 for a in rest)
+            assert max(abs(a - base) for a in rest) > 0.1
+
+    def test_base_samples_unchanged_by_rattle_option(self, tmp_path):
+        man0 = P.write_corpus(str(tmp_path / "a"), seed=0,
+                              max_sites_per_polymorph=1)
+        man1 = P.write_corpus(str(tmp_path / "b"), seed=0,
+                              max_sites_per_polymorph=1, n_rattles=1)
+        base1 = [m for m in man1 if "_r" not in m[0].split("_o")[1]]
+        assert [(p, c, round(a, 6)) for _, p, c, a in man0] == \
+               [(p, c, round(a, 6)) for _, p, c, a in base1]
