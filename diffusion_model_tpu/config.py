@@ -163,6 +163,21 @@ class Config:
     # NaN epochs. ~1/K^2 (e.g. 1e-3 at K=32) holds the init-time scale
     # flat; 1.0 is the reference-equivalent lecun init. Trained model
     # family is unchanged — this only moves the starting point.
+    x_parameterization: str = "eps"
+    # what the denoiser's coordinate head MEANS (train + sample agree via
+    # diffusion/process.x0_out_to_eps):
+    #   "eps" — the network output IS the noise prediction (reference-exact,
+    #           ref parts/train_per_iretation.py:161-166).
+    #   "x0"  — the output is a displacement toward the CLEAN structure,
+    #           x0_hat = z_t + out; converted to
+    #           eps_hat = (z_t - alpha_t x0_hat)/sigma_t at every consumer,
+    #           so the loss (eps-space MSE = SNR-weighted x0 error) and the
+    #           sampler math are unchanged — only the network's
+    #           conditioning moves. Candidate mechanism for the large-cell
+    #           mid-t structure-formation deficit (docs/ROADMAP.md round-5
+    #           state): at mid/high noise predicting the structure directly
+    #           is better conditioned than predicting the noise. The h
+    #           (species) channel stays eps-parameterised either way.
     t_bias_frac: float = 0.0
     t_bias_lo: int = 100
     t_bias_hi: int = 600

@@ -105,6 +105,42 @@ def diffuse_zero_to_t(schedule: Schedule, key, z, t, mode: str = "pos",
     return alpha_t * z + sigma_t * eps, eps
 
 
+def x_param_is_x0(cfg) -> bool:
+    """Validated read of ``cfg.x_parameterization`` (see config.py)."""
+    if cfg.x_parameterization not in ("eps", "x0"):
+        raise ValueError(
+            f"x_parameterization={cfg.x_parameterization!r} "
+            "must be 'eps' or 'x0'"
+        )
+    return cfg.x_parameterization == "x0"
+
+
+def x0_out_to_eps(schedule: Schedule, t, z, out):
+    """Read an x0-parameterised coordinate head as an epsilon prediction.
+
+    With ``x_parameterization="x0"`` the network's equivariant coordinate
+    output points at the clean structure: ``x0_hat = z_t + out``. Every
+    consumer (loss, sampler, t=0 epilogue) still runs on epsilon, so
+    convert::
+
+        eps_hat = (z_t - alpha_t x0_hat) / sigma_t
+                = ((1 - alpha_t)/sigma_t) z_t - (alpha_t/sigma_t) out
+
+    The coefficients are formed in the schedule's f32 before casting to
+    the compute dtype: ``1 - alpha_t`` underflows to 0 in bf16 at low t
+    (alpha ~ 1 - 1e-5), which would silently drop the z-term. Padded rows
+    stay zero (both z and out are masked) and CoM-freeness is preserved
+    (the output is a linear combination of two CoM-free fields), so the
+    subtracted-CoM diffusion math is untouched. Identity check: feeding
+    the oracle ``out = x0 - z_t`` returns the exact forward noise eps.
+    """
+    alpha_t = schedule.alpha(t)
+    sigma_t = schedule.sigma(t)
+    coef_z = (1.0 - alpha_t) / sigma_t
+    coef_out = alpha_t / sigma_t
+    return _bcast(coef_z, z) * z - _bcast(coef_out, out) * out
+
+
 def calculate_mu(schedule: Schedule, z, eps, t):
     """Posterior mean for the t -> t-1 step (ref diffusion_x_h.py:61-73)."""
     alpha_t = schedule.alpha(t)

@@ -23,6 +23,8 @@ from diffusion_model_tpu.diffusion.process import (
     Schedule,
     final_denoise_step,
     reverse_diffuse_one_step,
+    x0_out_to_eps,
+    x_param_is_x0,
 )
 from diffusion_model_tpu.ops.com import remove_mean
 
@@ -141,8 +143,10 @@ def sample(
         # (ref test.py:206-321 samples positions with known species)
         h0 = cond.species
 
-    def denoise(pos, h, t_norm_scalar):
-        t_norm = jnp.full((b, n, 1), t_norm_scalar, pos.dtype) * m3
+    x0_mode = x_param_is_x0(cfg)
+
+    def denoise(pos, h, t_idx):
+        t_norm = jnp.full((b, n, 1), t_norm_table[t_idx], pos.dtype) * m3
         if cfg.neighbor_k and not cfg.ring_sample:
             from diffusion_model_tpu.ops.edges import knn_edges
 
@@ -162,12 +166,22 @@ def sample(
             w = cfg.guidance_scale
             eps_x = (1.0 + w) * eps_x - w * ex_u
             eps_h = (1.0 + w) * eps_h - w * eh_u
+        if x0_mode:
+            # x0-parameterised coordinate head: the network output is a
+            # displacement toward the clean structure; every consumer
+            # below runs on epsilon. Converting AFTER the CFG combination
+            # is exact: the conversion is affine in the output with a
+            # z-term independent of it, so the z-terms of the cond/uncond
+            # branches cancel in the (1+w)c - w u combination. With a
+            # strided schedule ``t_idx`` indexes the SUBSAMPLED alpha
+            # table, which is exactly the noise level this z_t carries.
+            eps_x = x0_out_to_eps(schedule, t_idx, pos, eps_x)
         return eps_x, eps_h
 
     def step(carry, t):
         pos, h, k = carry
         k, k1, k2 = jax.random.split(k, 3)
-        eps_x, eps_h = denoise(pos, h, t_norm_table[t])
+        eps_x, eps_h = denoise(pos, h, t)
         new_pos = reverse_diffuse_one_step(
             schedule, k1, pos, eps_x, t, mode="pos", mask=mask,
             deterministic=cfg.deterministic_sampling,
@@ -192,8 +206,9 @@ def sample(
     ts = jnp.arange(steps, 0, -1)
     (pos, h, key), traj = jax.lax.scan(step, (pos0, h0, key), ts)
 
-    # Explicit t=0 denoise (ref :391-426).
-    eps_x, eps_h = denoise(pos, h, 0.0)
+    # Explicit t=0 denoise (ref :391-426). Index 0 of the (possibly
+    # strided) table is always schedule entry 0, t_norm 0.0.
+    eps_x, eps_h = denoise(pos, h, 0)
     key, k1, k2 = jax.random.split(key, 3)
     pos = final_denoise_step(schedule, k1, pos, eps_x, mode="pos", mask=mask,
                              deterministic=cfg.deterministic_sampling,

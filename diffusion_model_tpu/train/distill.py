@@ -135,6 +135,14 @@ def distill_loss(student_params, teacher_params, apply_fn, cfg: Config,
     solve for the one-step eps that reproduces the teacher's landing point,
     and regress the student's eps prediction onto it.
     """
+    if cfg.x_parameterization != "eps":
+        # the two-for-one target algebra below reads raw network outputs
+        # as epsilon; wiring the x0 conversion through the teacher/student
+        # grids is untested — refuse loudly rather than distill garbage
+        raise NotImplementedError(
+            "progressive distillation supports x_parameterization='eps' "
+            f"only (got {cfg.x_parameterization!r})"
+        )
     b, _ = batch.mask.shape
     m3 = batch.mask[..., None]
     k_j, k_pos, k_h = jax.random.split(key, 3)

@@ -30,6 +30,8 @@ from diffusion_model_tpu.diffusion.process import (
     Schedule,
     learned_schedule,
     predefined_schedule,
+    x0_out_to_eps,
+    x_param_is_x0,
 )
 from diffusion_model_tpu.nn.denoiser import DiffusionDenoiser
 from diffusion_model_tpu.nn.gamma import GammaNetwork
@@ -259,6 +261,11 @@ class Trainer:
             params["denoiser"], h_t, pos_t, spectrum, batch.exo,
             t_norm, batch.mask, edges,
         )
+        if x_param_is_x0(cfg):
+            # x0-parameterised coordinate head: read the output as a
+            # displacement toward the clean structure and train in
+            # eps-space as usual (= SNR-weighted x0 error; see config.py)
+            eps_x_pred = x0_out_to_eps(schedule, t, pos_t, eps_x_pred)
         loss, sum_sq, num_nodes = epsilon_loss(
             eps_x_pred, eps_h_pred, eps_pos, eps_h, batch.mask,
             include_h=cfg.diffuse_species,
@@ -448,6 +455,12 @@ class Trainer:
                 params["denoiser"], h_t[0], pos_t[0], spectrum[0],
                 batch.exo[0], t_norm[0], batch.mask[0],
             )
+            if x_param_is_x0(cfg):
+                # same eps-space conversion as the dense loss, on the
+                # single resident graph (t[0] is its timestep)
+                eps_x_pred = x0_out_to_eps(
+                    schedule, t[0], pos_t[0], eps_x_pred
+                )
             loss, sum_sq, num_nodes = epsilon_loss(
                 eps_x_pred[None], eps_h_pred[None], eps_pos, eps_h,
                 batch.mask, include_h=cfg.diffuse_species,

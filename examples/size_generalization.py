@@ -108,6 +108,13 @@ def main():
                         "gradient-emphasis variant of t_bias_frac that "
                         "keeps uniform t coverage (VERDICT-r4 candidate "
                         "for the 512-atom structure-formation underfit)")
+    p.add_argument("--x_parameterization", type=str, default="eps",
+                   choices=("eps", "x0"),
+                   help="coordinate-head meaning (config.py): 'x0' makes "
+                        "the network predict a displacement toward the "
+                        "clean structure (converted to eps at every "
+                        "consumer) — the round-5 candidate for the "
+                        "large-cell mid-t structure-formation deficit")
     p.add_argument("--init_from", type=str, default="",
                    help="curriculum initialisation: run dir whose latest "
                         "checkpoint's eval params seed this run (fresh "
@@ -206,6 +213,7 @@ def main():
         edge_rbf=args.edge_rbf,
         t_bias_frac=args.t_bias_frac,
         t_loss_weight=args.t_loss_weight,
+        x_parameterization=args.x_parameterization,
         checkpoint_every=args.checkpoint_every,  # long runs survive kills
     )
     print(f"devices: {jax.devices()}", flush=True)
@@ -299,6 +307,8 @@ def main():
                      + (f"_tw{args.t_loss_weight:g}"
                         if args.t_loss_weight != 1.0 else "")
                      + (f"_L{args.L}" if args.L != 5 else "")
+                     + (f"_{args.x_parameterization}"
+                        if args.x_parameterization != "eps" else "")
                      + (f"_curr" if args.init_from else "")
                      + ("_gr" if args.global_radius else "")
                      + ("_vn" if args.virtual_node else ""),
