@@ -244,14 +244,29 @@ def main():
         },
         "per_polymorph_1NN": per_poly,
         "bond_r2_reading": (
-            "bond R^2 on this corpus is a denominator artifact, not an "
-            "extraction failure: the spectra identify each site exactly "
-            f"(1-NN bond ceiling {ceiling_bond}), but the corpus bond "
-            f"spread is {bond_stats['bond_sd_A']} A sd, so R^2 = 1 - "
-            "MSE/var needs per-bond RMS error below ~0.008 A — under any "
-            "diffusion sampler's coordinate noise floor. Read "
-            "cn2_bond_mae_A (absolute error vs the ~1.61 A target) "
-            "instead."
+            (
+                "bond R^2 on the rattled corpus is INFORMATION-limited, "
+                "not a sampler failure: the synthesized edge "
+                "(data/polymorphs.physical_edge_curve) encodes (CN, "
+                "Si-O-Si angle) only, so once the rattle decorrelates "
+                "bond length from the site identity the spectrum carries "
+                "no bond signal — the 1-NN label-copy ceiling "
+                f"({ceiling_bond}) stays ~1 because every spectrum is a "
+                "unique fingerprint, but it is not an information bound "
+                "for generative extraction. Read cn2_bond_mae_A "
+                f"(corpus sd {bond_stats['bond_sd_A']} A) instead."
+            )
+            if args.rattles
+            else (
+                "bond R^2 on this corpus is a denominator artifact, not "
+                "an extraction failure: the spectra identify each site "
+                f"exactly (1-NN bond ceiling {ceiling_bond}), but the "
+                f"corpus bond spread is {bond_stats['bond_sd_A']} A sd, "
+                "so R^2 = 1 - MSE/var needs per-bond RMS error below "
+                f"~{bond_stats['bond_sd_A']} A — under any diffusion "
+                "sampler's coordinate noise floor. Read cn2_bond_mae_A "
+                "(absolute error vs the ~1.61 A target) instead."
+            )
         ),
     }
     os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
