@@ -176,8 +176,17 @@ class Config:
     #           conditioning moves. Candidate mechanism for the large-cell
     #           mid-t structure-formation deficit (docs/ROADMAP.md round-5
     #           state): at mid/high noise predicting the structure directly
-    #           is better conditioned than predicting the noise. The h
-    #           (species) channel stays eps-parameterised either way.
+    #           is better conditioned than predicting the noise.
+    #   "v"   — velocity prediction v = alpha_t eps - sigma_t x0 (Salimans
+    #           & Ho 2022, progressive-distillation paper; public
+    #           technique), converted via eps_hat = alpha_t out +
+    #           sigma_t z_t — both coefficients bounded by 1, so it keeps
+    #           x0's conditioning at high noise AND eps's at low noise.
+    #           Measured 192-atom CRN panels (size192_r5_lever_sweep.json):
+    #           "x0" sharpens the first shell (bond width 0.195 vs 0.279,
+    #           CN(Si) 3.16 vs 2.79) but loses mid-range excess RDF.
+    #           The h (species) channel stays eps-parameterised in every
+    #           mode.
     t_bias_frac: float = 0.0
     t_bias_lo: int = 100
     t_bias_hi: int = 600

@@ -106,13 +106,18 @@ def diffuse_zero_to_t(schedule: Schedule, key, z, t, mode: str = "pos",
 
 
 def x_param_is_x0(cfg) -> bool:
-    """Validated read of ``cfg.x_parameterization`` (see config.py)."""
-    if cfg.x_parameterization not in ("eps", "x0"):
+    """True iff the coordinate head needs an eps-space conversion.
+
+    Validated read of ``cfg.x_parameterization`` (see config.py). The
+    name predates the "v" mode; it answers "non-eps?" — dispatch between
+    the conversions happens in :func:`head_out_to_eps`.
+    """
+    if cfg.x_parameterization not in ("eps", "x0", "v"):
         raise ValueError(
             f"x_parameterization={cfg.x_parameterization!r} "
-            "must be 'eps' or 'x0'"
+            "must be 'eps', 'x0' or 'v'"
         )
-    return cfg.x_parameterization == "x0"
+    return cfg.x_parameterization != "eps"
 
 
 def x0_out_to_eps(schedule: Schedule, t, z, out):
@@ -139,6 +144,41 @@ def x0_out_to_eps(schedule: Schedule, t, z, out):
     coef_z = (1.0 - alpha_t) / sigma_t
     coef_out = alpha_t / sigma_t
     return _bcast(coef_z, z) * z - _bcast(coef_out, out) * out
+
+
+def v_out_to_eps(schedule: Schedule, t, z, out):
+    """Read a v-parameterised coordinate head as an epsilon prediction.
+
+    ``v = alpha_t eps - sigma_t x0`` (Salimans & Ho 2022, "Progressive
+    Distillation for Fast Sampling of Diffusion Models", eq. 11 — public
+    technique, PAPERS.md): the canonical t-interpolation between the eps
+    head (which dominates at low noise) and the x0 head (which dominates
+    at high noise). With ``z_t = alpha_t x0 + sigma_t eps``::
+
+        eps_hat = alpha_t out + sigma_t z_t
+
+    (substitute and use alpha^2 + sigma^2 = 1). Both coefficients are
+    bounded by 1 for every t — unlike "x0", whose alpha/sigma factor
+    amplifies low-t errors — so the conversion is perfectly conditioned
+    across the whole chain. CoM-freeness and padded-row inertness are
+    preserved (linear combination of two CoM-free masked fields).
+    Identity check: feeding the oracle ``out = alpha eps - sigma x0``
+    returns the exact forward noise eps.
+    """
+    alpha_t = schedule.alpha(t)
+    sigma_t = schedule.sigma(t)
+    return _bcast(alpha_t, out) * out + _bcast(sigma_t, z) * z
+
+
+def head_out_to_eps(cfg, schedule: Schedule, t, z, out):
+    """Dispatch the coordinate-head conversion for non-eps modes."""
+    if cfg.x_parameterization == "x0":
+        return x0_out_to_eps(schedule, t, z, out)
+    if cfg.x_parameterization == "v":
+        return v_out_to_eps(schedule, t, z, out)
+    raise ValueError(
+        f"no conversion for x_parameterization={cfg.x_parameterization!r}"
+    )
 
 
 def calculate_mu(schedule: Schedule, z, eps, t):

@@ -23,7 +23,7 @@ from diffusion_model_tpu.diffusion.process import (
     Schedule,
     final_denoise_step,
     reverse_diffuse_one_step,
-    x0_out_to_eps,
+    head_out_to_eps,
     x_param_is_x0,
 )
 from diffusion_model_tpu.ops.com import remove_mean
@@ -167,15 +167,16 @@ def sample(
             eps_x = (1.0 + w) * eps_x - w * ex_u
             eps_h = (1.0 + w) * eps_h - w * eh_u
         if x0_mode:
-            # x0-parameterised coordinate head: the network output is a
-            # displacement toward the clean structure; every consumer
-            # below runs on epsilon. Converting AFTER the CFG combination
-            # is exact: the conversion is affine in the output with a
-            # z-term independent of it, so the z-terms of the cond/uncond
-            # branches cancel in the (1+w)c - w u combination. With a
-            # strided schedule ``t_idx`` indexes the SUBSAMPLED alpha
-            # table, which is exactly the noise level this z_t carries.
-            eps_x = x0_out_to_eps(schedule, t_idx, pos, eps_x)
+            # x0/v-parameterised coordinate head: the network output is
+            # read as a clean-structure displacement (x0) or velocity
+            # (v); every consumer below runs on epsilon. Converting
+            # AFTER the CFG combination is exact: both conversions are
+            # affine in the output with a z-term independent of it, so
+            # the z-terms of the cond/uncond branches cancel in the
+            # (1+w)c - w u combination. With a strided schedule
+            # ``t_idx`` indexes the SUBSAMPLED alpha table, which is
+            # exactly the noise level this z_t carries.
+            eps_x = head_out_to_eps(cfg, schedule, t_idx, pos, eps_x)
         return eps_x, eps_h
 
     def step(carry, t):

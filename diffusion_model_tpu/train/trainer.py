@@ -30,7 +30,7 @@ from diffusion_model_tpu.diffusion.process import (
     Schedule,
     learned_schedule,
     predefined_schedule,
-    x0_out_to_eps,
+    head_out_to_eps,
     x_param_is_x0,
 )
 from diffusion_model_tpu.nn.denoiser import DiffusionDenoiser
@@ -262,10 +262,11 @@ class Trainer:
             t_norm, batch.mask, edges,
         )
         if x_param_is_x0(cfg):
-            # x0-parameterised coordinate head: read the output as a
-            # displacement toward the clean structure and train in
-            # eps-space as usual (= SNR-weighted x0 error; see config.py)
-            eps_x_pred = x0_out_to_eps(schedule, t, pos_t, eps_x_pred)
+            # x0/v-parameterised coordinate head: convert the output to
+            # eps-space and train as usual (see config.py for what each
+            # mode's eps-MSE weighs)
+            eps_x_pred = head_out_to_eps(cfg, schedule, t, pos_t,
+                                         eps_x_pred)
         loss, sum_sq, num_nodes = epsilon_loss(
             eps_x_pred, eps_h_pred, eps_pos, eps_h, batch.mask,
             include_h=cfg.diffuse_species,
@@ -458,8 +459,8 @@ class Trainer:
             if x_param_is_x0(cfg):
                 # same eps-space conversion as the dense loss, on the
                 # single resident graph (t[0] is its timestep)
-                eps_x_pred = x0_out_to_eps(
-                    schedule, t[0], pos_t[0], eps_x_pred
+                eps_x_pred = head_out_to_eps(
+                    cfg, schedule, t[0], pos_t[0], eps_x_pred
                 )
             loss, sum_sq, num_nodes = epsilon_loss(
                 eps_x_pred[None], eps_h_pred[None], eps_pos, eps_h,

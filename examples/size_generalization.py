@@ -109,7 +109,7 @@ def main():
                         "keeps uniform t coverage (VERDICT-r4 candidate "
                         "for the 512-atom structure-formation underfit)")
     p.add_argument("--x_parameterization", type=str, default="eps",
-                   choices=("eps", "x0"),
+                   choices=("eps", "x0", "v"),
                    help="coordinate-head meaning (config.py): 'x0' makes "
                         "the network predict a displacement toward the "
                         "clean structure (converted to eps at every "

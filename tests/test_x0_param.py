@@ -28,6 +28,7 @@ from diffusion_model_tpu.data.synthetic import synthetic_sio2_dataset
 from diffusion_model_tpu.diffusion import predefined_schedule, sample
 from diffusion_model_tpu.diffusion.process import (
     diffuse_zero_to_t,
+    v_out_to_eps,
     x0_out_to_eps,
     x_param_is_x0,
 )
@@ -52,8 +53,11 @@ def data_and_batch(cfg, num=8):
 
 
 class TestConversion:
-    def test_oracle_identity(self):
-        """out = x0 - z_t must convert back to the exact forward noise."""
+    @pytest.mark.parametrize("mode", ["x0", "v"])
+    def test_oracle_identity(self, mode):
+        """The mode's oracle output must convert back to the exact
+        forward noise: out = x0 - z_t for "x0",
+        out = alpha eps - sigma x0 for "v"."""
         cfg = tiny_cfg()
         schedule = predefined_schedule(cfg)
         _, batch = data_and_batch(cfg)
@@ -61,22 +65,30 @@ class TestConversion:
         pos_t, eps = diffuse_zero_to_t(schedule, jax.random.key(3),
                                        batch.pos, t, mode="pos",
                                        mask=batch.mask)
-        out = batch.pos - pos_t  # oracle: x0_hat = z_t + out == x0
-        eps_back = x0_out_to_eps(schedule, t, pos_t, out)
+        alpha = schedule.alpha(t)[:, None, None]
+        sigma = schedule.sigma(t)[:, None, None]
+        if mode == "x0":
+            out = batch.pos - pos_t  # x0_hat = z_t + out == x0
+            eps_back = x0_out_to_eps(schedule, t, pos_t, out)
+        else:
+            out = alpha * eps - sigma * batch.pos
+            eps_back = v_out_to_eps(schedule, t, pos_t, out)
         np.testing.assert_allclose(np.asarray(eps_back), np.asarray(eps),
                                    rtol=2e-5, atol=2e-5)
 
     def test_validation(self):
         assert not x_param_is_x0(tiny_cfg())
         assert x_param_is_x0(tiny_cfg(x_parameterization="x0"))
+        assert x_param_is_x0(tiny_cfg(x_parameterization="v"))
         with pytest.raises(ValueError, match="x_parameterization"):
-            x_param_is_x0(tiny_cfg(x_parameterization="v"))
+            x_param_is_x0(tiny_cfg(x_parameterization="v_pred"))
 
 
 class TestSamplerEquivalence:
     @pytest.mark.parametrize("guidance", [0.0, 1.5])
-    def test_x0_chain_matches_eps_chain(self, guidance):
-        """An x0-mode denoise_fn built by inverting an eps-mode one must
+    @pytest.mark.parametrize("mode", ["x0", "v"])
+    def test_converted_chain_matches_eps_chain(self, mode, guidance):
+        """A non-eps denoise_fn built by inverting an eps-mode one must
         reproduce the eps-mode reverse chain exactly (same keys)."""
         cfg = tiny_cfg(guidance_scale=guidance, zero_init_x=False)
         schedule = predefined_schedule(cfg)
@@ -98,7 +110,7 @@ class TestSamplerEquivalence:
             eps_h = jnp.tanh(pos) @ wh * m3
             return sx * m3, eps_h
 
-        def fn_x0(h, pos, spectrum, exo, t_norm, mask, edges):
+        def fn_conv(h, pos, spectrum, exo, t_norm, mask, edges):
             eps_x, eps_h = fn_eps(h, pos, spectrum, exo, t_norm, mask,
                                   edges)
             # recover the table index from t_norm (full-steps sampling:
@@ -106,13 +118,16 @@ class TestSamplerEquivalence:
             ti = jnp.round(jnp.max(t_norm) * T).astype(jnp.int32)
             alpha = schedule.alphas[ti]
             sigma = jnp.sqrt(1.0 - alpha**2)
-            out = (pos - sigma * eps_x) / alpha - pos
+            if mode == "x0":
+                out = (pos - sigma * eps_x) / alpha - pos
+            else:  # v: eps = alpha v + sigma z  =>  v = (eps - sigma z)/alpha
+                out = (eps_x - sigma * pos) / alpha
             return out, eps_h
 
         key = jax.random.key(5)
         res_eps = sample(fn_eps, schedule, cfg, key, batch)
-        res_x0 = sample(fn_x0, schedule,
-                        cfg.replace(x_parameterization="x0"), key, batch)
+        res_x0 = sample(fn_conv, schedule,
+                        cfg.replace(x_parameterization=mode), key, batch)
         np.testing.assert_allclose(np.asarray(res_x0.pos),
                                    np.asarray(res_eps.pos),
                                    rtol=2e-4, atol=2e-4)
@@ -126,8 +141,9 @@ class TestSamplerEquivalence:
 
 class TestTraining:
     @pytest.mark.slow
-    def test_loss_finite_at_init_and_decreases(self):
-        cfg = tiny_cfg(x_parameterization="x0")
+    @pytest.mark.parametrize("mode", ["x0", "v"])
+    def test_loss_finite_at_init_and_decreases(self, mode):
+        cfg = tiny_cfg(x_parameterization=mode)
         trainer = Trainer(cfg)
         _, batch = data_and_batch(cfg)
         state = trainer.init_state(jax.random.key(0), batch)
