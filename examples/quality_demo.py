@@ -56,6 +56,10 @@ def main():
                    help="config seed (init + data split + sampling keys) — "
                         "the seed-variance knob for the learned-schedule "
                         "recipe characterisation (VERDICT r4 #3)")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="periodic checkpoint cadence in epochs (0 = only "
+                        "the final checkpoint) — set ~300 under the "
+                        "watchdog so a wedge kill+resume loses little")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in out_dir "
                         "(api.train resume) — lets a watchdog relaunch a "
@@ -90,6 +94,7 @@ def main():
         gamma_init=args.gamma_init,
         h_residual=args.h_residual,
         seed=args.seed,
+        checkpoint_every=args.checkpoint_every,
     )
     print(f"devices: {jax.devices()}", flush=True)
     graphs = synthetic_sio2_dataset(cfg.seed, args.num, cfg.n_max,
