@@ -162,8 +162,10 @@ def save_params_npz(params, path: str, dtype="float16",
             for k, v in _flatten_params(params).items()}
     n = len(flat)
     if cfg is not None:
-        flat["__config_json__"] = np.array(
-            _json.dumps(cfg.to_dict()), dtype=object)
+        # unicode scalar, NOT dtype=object: keeps the artifact loadable
+        # with allow_pickle=False (a committed file should never require
+        # unpickling to read)
+        flat["__config_json__"] = np.array(_json.dumps(cfg.to_dict()))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez_compressed(path, **flat)
     return n
@@ -173,7 +175,8 @@ def load_params_npz(path: str, dtype="float32"):
     """Load a ``save_params_npz`` snapshot back into a nested dict."""
     import numpy as np
 
-    with np.load(path, allow_pickle=True) as z:
+    with np.load(path) as z:  # parameter arrays are plain numerics;
+        # the (possibly legacy object-dtype) config key is never read
         flat = {k: z[k].astype(dtype) for k in z.files
                 if k != "__config_json__"}
     tree: dict = {}
@@ -192,7 +195,11 @@ def load_config_npz(path: str) -> Optional[Config]:
 
     import numpy as np
 
-    with np.load(path, allow_pickle=True) as z:
-        if "__config_json__" not in z.files:
-            return None
-        return from_dict(_json.loads(str(z["__config_json__"][()])))
+    try:
+        with np.load(path) as z:
+            if "__config_json__" not in z.files:
+                return None
+            return from_dict(_json.loads(str(z["__config_json__"][()])))
+    except ValueError:  # legacy snapshot: config stored as dtype=object
+        with np.load(path, allow_pickle=True) as z:
+            return from_dict(_json.loads(str(z["__config_json__"][()])))

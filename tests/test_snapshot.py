@@ -78,3 +78,38 @@ class TestParamsNpz:
         save_params_npz(state.eval_params(cfg), path)
         assert load_config_npz(path) is None
         assert load_params_npz(path)  # still loads
+
+    def test_no_pickle_required(self, tmp_path):
+        """A committed artifact must be readable with allow_pickle=False
+        (numpy's default) — the config is stored as a unicode scalar,
+        never dtype=object; legacy object-dtype snapshots still load
+        through the fallback in load_config_npz."""
+        import json
+
+        cfg = tiny_cfg()
+        trainer = Trainer(cfg)
+        graphs = synthetic_sio2_dataset(0, 4, cfg.n_max,
+                                        spectrum_size=cfg.spectrum_size)
+        batch = next(batch_iterator(graphs, cfg.batch_size, cfg.n_max))
+        state = trainer.init_state(jax.random.key(0), batch)
+        params = state.eval_params(cfg)
+
+        path = str(tmp_path / "snap.npz")
+        save_params_npz(params, path, cfg=cfg)
+        with np.load(path) as z:  # allow_pickle defaults to False
+            assert z["__config_json__"].dtype.kind == "U"
+            for k in z.files:
+                z[k]
+        assert load_config_npz(path) == cfg
+
+        # legacy format: object-dtype config key
+        legacy = str(tmp_path / "legacy.npz")
+        flat = {}
+        with np.load(path) as z:
+            for k in z.files:
+                flat[k] = z[k]
+        flat["__config_json__"] = np.array(
+            json.dumps(cfg.to_dict()), dtype=object)
+        np.savez_compressed(legacy, **flat)
+        assert load_config_npz(legacy) == cfg
+        assert load_params_npz(legacy)
